@@ -1,0 +1,256 @@
+"""Minimal functional NN primitives (pytree params, explicit init/apply).
+
+Design notes (TPU-first):
+  * Activations are NHWC (TPU-preferred conv layout); the reference is NCHW
+    torch — layout is internal, parity is checked on values.
+  * Patch embedding and 2x2-stride-2 (de)convolutions are expressed as
+    reshapes + matmuls so they land on the MXU instead of conv lowerings.
+  * All matmuls take `preferred_element_type=jnp.float32` so bf16 inputs
+    accumulate in f32.
+  * Params are plain nested dicts of jnp arrays -> trivially checkpointable
+    and shardable with `jax.sharding`.
+
+Torch-parity conventions (so converted reference weights drop in):
+  * linear `w` is stored (in, out) — transpose of torch's (out, in).
+  * layer_norm matches torch LayerNorm (eps configurable).
+  * group_norm(1, C) matches torch GroupNorm(1, C): normalize over (H, W, C).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def xavier_uniform(key, shape, dtype=jnp.float32, fan_in=None, fan_out=None):
+    """Xavier/Glorot uniform, matching torch.nn.init.xavier_uniform_."""
+    if fan_in is None:
+        fan_in = shape[0] if len(shape) == 2 else int(jnp.prod(jnp.array(shape[:-1])))
+    if fan_out is None:
+        fan_out = shape[-1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def normal_init(key, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def kaiming_uniform(key, shape, dtype=jnp.float32, fan_in=None):
+    """torch's default conv/linear init: kaiming_uniform(a=sqrt(5)) ~ U(-1/sqrt(fan_in), ...)."""
+    if fan_in is None:
+        fan_in = shape[0] if len(shape) == 2 else int(jnp.prod(jnp.array(shape[:-1])))
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -math.sqrt(3.0) * bound, math.sqrt(3.0) * bound)
+
+
+# ---------------------------------------------------------------------------
+# linear / mlp
+# ---------------------------------------------------------------------------
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True,
+                init: str = "torch") -> Params:
+    kw, kb = jax.random.split(key)
+    if init == "xavier":
+        w = xavier_uniform(kw, (in_dim, out_dim))
+    else:  # torch default
+        w = kaiming_uniform(kw, (in_dim, out_dim), fan_in=in_dim)
+    p = {"w": w}
+    if bias:
+        bound = math.sqrt(1.0 / in_dim)
+        p["b"] = (jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound)
+                  if init == "torch" else jnp.zeros((out_dim,)))
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def init_mlp(key, in_dim: int, hidden: int, out_dim: Optional[int] = None,
+             init: str = "torch") -> Params:
+    out_dim = out_dim or in_dim
+    k1, k2 = jax.random.split(key)
+    return {"fc1": init_linear(k1, in_dim, hidden, init=init),
+            "fc2": init_linear(k2, hidden, out_dim, init=init)}
+
+
+def mlp(p: Params, x: jnp.ndarray, act: Callable = jax.nn.gelu) -> jnp.ndarray:
+    return linear(p["fc2"], act(linear(p["fc1"], x)))
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+def init_layer_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def init_group_norm(channels: int) -> Params:
+    return {"scale": jnp.ones((channels,)), "bias": jnp.zeros((channels,))}
+
+
+def group_norm1(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm with a single group over NHWC input (== torch GroupNorm(1, C)).
+
+    Normalizes each sample over all of (H, W, C); per-channel affine.
+    """
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim))
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# convolutions (NHWC)
+# ---------------------------------------------------------------------------
+
+def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int, bias: bool = True) -> Params:
+    kkw, kkb = jax.random.split(key)
+    fan_in = kh * kw * in_ch
+    p = {"w": kaiming_uniform(kkw, (kh, kw, in_ch, out_ch), fan_in=fan_in)}
+    if bias:
+        bound = math.sqrt(1.0 / fan_in)
+        p["b"] = jax.random.uniform(kkb, (out_ch,), jnp.float32, -bound, bound)
+    return p
+
+
+def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | Sequence = "SAME") -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv1x1(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Pointwise conv as a matmul (MXU)."""
+    y = jnp.dot(x, p["w"].reshape(p["w"].shape[-2], p["w"].shape[-1]).astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def init_conv1x1(key, in_ch: int, out_ch: int, bias: bool = True) -> Params:
+    p = init_conv(key, 1, 1, in_ch, out_ch, bias)
+    return p
+
+
+def init_deconv2x2(key, in_ch: int, out_ch: int, bias: bool = True) -> Params:
+    """ConvTranspose2d(k=2, s=2). Stored as (in, 2, 2, out) for the matmul form.
+
+    torch init: kaiming_uniform with fan_in = in_ch * k * k computed on the
+    (in, out, k, k) weight -> fan_in = out_ch ... torch uses weight shape
+    (in, out, kh, kw) and fan_in = out_ch*kh*kw for ConvTranspose. We follow.
+    """
+    kkw, kkb = jax.random.split(key)
+    fan_in = out_ch * 4  # torch _calculate_fan_in for ConvTranspose2d
+    p = {"w": kaiming_uniform(kkw, (in_ch, 2, 2, out_ch), fan_in=fan_in)}
+    if bias:
+        bound = math.sqrt(1.0 / fan_in)
+        p["b"] = jax.random.uniform(kkb, (out_ch,), jnp.float32, -bound, bound)
+    return p
+
+
+def deconv2x2(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """2x upsampling transposed conv as matmul + pixel-shuffle (MXU-friendly).
+
+    out[2i+di, 2j+dj, o] = sum_c x[i, j, c] * w[c, di, dj, o]
+    Matches torch ConvTranspose2d(in, out, 2, stride=2) exactly.
+    """
+    b, h, w, cin = x.shape
+    wmat = p["w"].reshape(cin, -1).astype(x.dtype)          # (cin, 4*out)
+    y = jnp.dot(x, wmat, preferred_element_type=jnp.float32).astype(x.dtype)
+    out = y.shape[-1] // 4
+    y = y.reshape(b, h, w, 2, 2, out)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, out)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def init_patch_embed(key, patch: Tuple[int, int], in_ch: int, embed_dim: int,
+                     init: str = "xavier") -> Params:
+    """Patch embedding stored as a linear over flattened patches.
+
+    Weight layout (ph*pw*in_ch, embed_dim) with the flattened index ordered
+    (ph, pw, in_ch) — i.e. HWIO row-major, matching `extract_patches` below.
+    """
+    kw_, kb_ = jax.random.split(key)
+    fan_in = patch[0] * patch[1] * in_ch
+    if init == "xavier":
+        # reference inits patch_embed like nn.Linear xavier_uniform on the
+        # (out, in) view (models_vit.py:168-171)
+        w = xavier_uniform(kw_, (fan_in, embed_dim), fan_in=fan_in, fan_out=embed_dim)
+    else:
+        w = kaiming_uniform(kw_, (fan_in, embed_dim), fan_in=fan_in)
+    bound = math.sqrt(1.0 / fan_in)
+    b = jax.random.uniform(kb_, (embed_dim,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b, "patch": patch}
+
+
+def patch_embed(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/ph * W/pw, D) via reshape + matmul."""
+    ph, pw = p["patch"]
+    b, h, w, c = x.shape
+    gh, gw = h // ph, w // pw
+    x = x.reshape(b, gh, ph, gw, pw, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, ph * pw * c)
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y + p["b"]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# attention (dense path; the Pallas flash kernel lives in ops/attention.py)
+# ---------------------------------------------------------------------------
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+         scale: Optional[float] = None) -> jnp.ndarray:
+    """Scaled dot-product attention over (..., N, H, Dh) -> (..., N, H, Dh).
+
+    Softmax computed in f32 for stability regardless of input dtype.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...hqk,...khd->...qhd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
