@@ -1,0 +1,127 @@
+"""SegFormer-style all-MLP segmentation head with the P2CL cosine branch.
+
+Re-derivation of `SwinTransfomerSegHead` (reference
+`isegm/model/modeling/swin_transformer.py:655-793` on top of the mmseg
+BaseDecodeHead, `transformer_helper/decode_head.py`):
+  * per-scale 1x1 conv + ReLU -> resize (bilinear, align_corners=False) to
+    the stride-4 map -> concat -> 1x1 fusion conv + ReLU;
+  * optional x2/x4 deconv upsampling stages;
+  * `cls_seg` = Dropout2d(p) + 1x1 conv to 1 logit channel;
+  * P2CL branch (swin_transformer.py:744-756): FFN(768 -> 2*768 -> channels)
+    on the DMA query stream, cosine similarity between L2-normalized queries
+    and L2-normalized per-pixel head features, rescaled (x+1)/2 into
+    per-prompt probability maps (B, L, H/4, W/4).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from ..ops.resize import bilinear_resize
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    in_channels: Tuple[int, ...] = (128, 256, 512, 1024)
+    channels: int = 256
+    num_classes: int = 1
+    dropout_ratio: float = 0.1
+    upsample: str = "x1"              # x1 | x2 | x4
+    align_corners: bool = False
+    d_model: int = 768
+    ed_loss: bool = True
+
+    @property
+    def out_channels(self) -> int:
+        return {"x1": self.channels, "x2": self.channels * 2,
+                "x4": self.channels * 4}[self.upsample]
+
+
+def init_head(key, cfg: HeadConfig) -> Dict[str, Any]:
+    n = len(cfg.in_channels)
+    ks = jax.random.split(key, n + 8)
+    oc = cfg.out_channels
+    p: Dict[str, Any] = {
+        "convs": [nn.init_conv1x1(ks[i], cfg.in_channels[i], oc) for i in range(n)],
+        "fusion": nn.init_conv1x1(ks[n], oc * n, oc),
+        "conv_seg": nn.init_conv1x1(ks[n + 1], cfg.channels, cfg.num_classes),
+    }
+    if cfg.upsample in ("x2", "x4"):
+        p["up1"] = {
+            "deconv": nn.init_deconv2x2(ks[n + 2], oc, oc // 2),
+            "gn1": nn.init_group_norm(oc // 2),
+            "conv": nn.init_conv1x1(ks[n + 3], oc // 2, oc // 2),
+            "gn2": nn.init_group_norm(oc // 2),
+        }
+    if cfg.upsample == "x4":
+        p["up2"] = {
+            "deconv": nn.init_deconv2x2(ks[n + 4], oc // 2, oc // 4),
+            "gn1": nn.init_group_norm(oc // 4),
+            "conv": nn.init_conv1x1(ks[n + 5], oc // 4, oc // 4),
+            "gn2": nn.init_group_norm(oc // 4),
+        }
+    if cfg.ed_loss:
+        p["logit_scale"] = jnp.asarray(jnp.log(1.0 / 0.07))
+        p["ffn"] = {"fc1": nn.init_linear(ks[n + 6], cfg.d_model, cfg.d_model * 2),
+                    "fc2": nn.init_linear(ks[n + 7], cfg.d_model * 2, oc)}
+    return p
+
+
+def _up_stage(p, x):
+    x = nn.deconv2x2(p["deconv"], x)
+    x = nn.group_norm1(p["gn1"], x)
+    x = nn.conv1x1(p["conv"], x)
+    return jax.nn.gelu(nn.group_norm1(p["gn2"], x))
+
+
+def _fuse(params, cfg: HeadConfig, inputs: List[jnp.ndarray]) -> jnp.ndarray:
+    th, tw = inputs[0].shape[1], inputs[0].shape[2]
+    outs = []
+    for x, conv in zip(inputs, params["convs"]):
+        y = jax.nn.relu(nn.conv1x1(conv, x))
+        outs.append(bilinear_resize(y, th, tw, align_corners=cfg.align_corners))
+    out = jax.nn.relu(nn.conv1x1(params["fusion"], jnp.concatenate(outs, axis=-1)))
+    if cfg.upsample in ("x2", "x4"):
+        out = _up_stage(params["up1"], out)
+    if cfg.upsample == "x4":
+        out = _up_stage(params["up2"], out)
+    return out
+
+
+def head_forward(params, cfg: HeadConfig, inputs: List[jnp.ndarray],
+                 q_out: Optional[jnp.ndarray] = None,
+                 dropout_key: Optional[jax.Array] = None
+                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """inputs: 4 NHWC scale maps; q_out: (B, L, d_model) DMA query stream.
+
+    Returns (seg logits (B, h, w, 1), P2CL maps (B, h, w, L) or None).
+    """
+    out = _fuse(params, cfg, inputs)
+    b, h, w, c = out.shape
+
+    logits = None
+    if cfg.ed_loss and q_out is not None:
+        query = nn.mlp(params["ffn"], q_out.astype(out.dtype), act=jax.nn.relu)
+        feat = out.reshape(b, h * w, c)
+        qn = query * jax.lax.rsqrt(
+            jnp.sum(jnp.square(query.astype(jnp.float32)), -1, keepdims=True) + 1e-24
+        ).astype(query.dtype)
+        fn_ = feat * jax.lax.rsqrt(
+            jnp.sum(jnp.square(feat.astype(jnp.float32)), -1, keepdims=True) + 1e-24
+        ).astype(feat.dtype)
+        sim = jnp.einsum("blc,bnc->bnl", qn, fn_,
+                         preferred_element_type=jnp.float32)
+        logits = ((sim + 1.0) / 2.0).reshape(b, h, w, -1)
+
+    feat_seg = out
+    if dropout_key is not None and cfg.dropout_ratio > 0:
+        # torch Dropout2d zeroes whole channels
+        keep = 1.0 - cfg.dropout_ratio
+        mask = jax.random.bernoulli(dropout_key, keep, (b, 1, 1, c))
+        feat_seg = jnp.where(mask, feat_seg / keep, 0.0).astype(out.dtype)
+    seg = nn.conv1x1(params["conv_seg"], feat_seg)
+    return seg, logits

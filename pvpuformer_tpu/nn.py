@@ -215,12 +215,12 @@ def init_patch_embed(key, patch: Tuple[int, int], in_ch: int, embed_dim: int,
         w = kaiming_uniform(kw_, (fan_in, embed_dim), fan_in=fan_in)
     bound = math.sqrt(1.0 / fan_in)
     b = jax.random.uniform(kb_, (embed_dim,), jnp.float32, -bound, bound)
-    return {"w": w, "b": b, "patch": patch}
+    return {"w": w, "b": b}
 
 
-def patch_embed(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def patch_embed(p: Params, x: jnp.ndarray, patch: Tuple[int, int]) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H/ph * W/pw, D) via reshape + matmul."""
-    ph, pw = p["patch"]
+    ph, pw = patch
     b, h, w, c = x.shape
     gh, gw = h // ph, w // pw
     x = x.reshape(b, gh, ph, gw, pw, c)

@@ -1,0 +1,78 @@
+"""On-device prompt rasterization into the coordinate-feature channels.
+
+The reference draws box outlines / scribble polylines per-sample on the host
+with cv2 (`isegm/model/is_model.py:97-146`) — a D2H/H2D round trip inside the
+model forward. Here both are closed-form masks:
+  * box outline: thickness-3 rectangle border == within the rectangle dilated
+    by 1px and outside the rectangle eroded by 2px (cv2.rectangle thickness 3
+    centers the stroke on the path);
+  * scribble: the curve arrives as 1000 dense samples
+    (trainer.py:725,1192-1243); a thickness-3 polyline over dense samples is
+    the union of 3x3 neighborhoods of the samples — a scatter of 1s followed
+    by a 3x3 max-pool dilation.
+
+Drawn pixels OR into the existing disk channel (is_model.py:108-120 converts
+through uint8*255 and back, which is exactly a logical OR with the 0/1 disks).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def box_outline_mask(h: int, w: int, box) -> jnp.ndarray:
+    """box = (x_center, y_center, width, height) traced scalars -> (h, w) 0/1.
+
+    Matches cv2.rectangle((x0, y0), (x1, y1), thickness=3) with
+    x0 = xc - w//2 etc. (is_model.py:107-109).
+    """
+    xc, yc, bw, bh = [v.astype(jnp.int32) for v in box]
+    x0, x1 = xc - bw // 2, xc + bw // 2
+    y0, y1 = yc - bh // 2, yc + bh // 2
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+    outer = (xx >= x0 - 1) & (xx <= x1 + 1) & (yy >= y0 - 1) & (yy <= y1 + 1)
+    inner = (xx >= x0 + 2) & (xx <= x1 - 2) & (yy >= y0 + 2) & (yy <= y1 - 2)
+    return (outer & ~inner).astype(jnp.float32)
+
+
+def polyline_mask(h: int, w: int, samples: jnp.ndarray) -> jnp.ndarray:
+    """samples: (S, 2) of (col, row) dense curve samples -> (h, w) 0/1 mask
+    of a thickness-3 stroke (3x3 dilation of the scattered samples)."""
+    cols = jnp.clip(samples[:, 0].astype(jnp.int32), 0, w - 1)
+    rows = jnp.clip(samples[:, 1].astype(jnp.int32), 0, h - 1)
+    base = jnp.zeros((h, w), jnp.float32).at[rows, cols].set(1.0, mode="drop")
+    dil = jax.lax.reduce_window(base, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+                                "SAME")
+    return jnp.maximum(dil, 0.0)
+
+
+def draw_box_into_coords(coords: jnp.ndarray, boxes: jnp.ndarray,
+                         num_points: int) -> jnp.ndarray:
+    """coords: (B, H, W, 2) pos/neg disk channels; boxes: (B, 5) with the
+    last entry the slot index (< num_points -> positive channel).
+    Matches ISModel.draw_box (is_model.py:97-121)."""
+    b, h, w, _ = coords.shape
+
+    def one(coord, box):
+        mask = box_outline_mask(h, w, (box[0], box[1], box[2], box[3]))
+        ch = (box[4] >= num_points).astype(jnp.int32)   # 0 = pos, 1 = neg
+        sel = jax.nn.one_hot(ch, 2, dtype=coord.dtype)  # (2,)
+        drawn = jnp.maximum(coord, mask[:, :, None])
+        return coord * (1 - sel) + drawn * sel
+
+    return jax.vmap(one)(coords, boxes.astype(jnp.float32))
+
+
+def draw_scribble_into_coords(coords: jnp.ndarray,
+                              scribbles: jnp.ndarray) -> jnp.ndarray:
+    """scribbles: (B, S, 2) (col, row) samples; drawn into the positive
+    channel (is_model.py:123-146 always writes channel 0)."""
+    b, h, w, _ = coords.shape
+
+    def one(coord, s):
+        mask = polyline_mask(h, w, s)
+        pos = jnp.maximum(coord[:, :, 0], mask)
+        return jnp.stack([pos, coord[:, :, 1]], axis=-1)
+
+    return jax.vmap(one)(coords, scribbles.astype(jnp.float32))

@@ -1,0 +1,168 @@
+"""Model-layer tests: shapes, jit, window patchify semantics, DMA structure,
+positional encodings, gradients."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pvpuformer_tpu.models.vit import (ViTConfig, init_vit, vit_backbone_forward,
+                                       _patchify, _unpatchify)
+from pvpuformer_tpu.models.two_way import (TwoWayConfig, init_two_way,
+                                           two_way_forward, pos2d_interleaved)
+from pvpuformer_tpu.models.vpu import (VPUConfig, vpu_base_config, init_vpu,
+                                       vpu_forward)
+from pvpuformer_tpu.models.fpn import NeckConfig
+from pvpuformer_tpu.models.seg_head import HeadConfig
+
+
+def tiny_cfg(window_pixels=224):
+    return VPUConfig(
+        backbone=ViTConfig(img_size=(64, 64), patch_size=(16, 16), embed_dim=64,
+                           depth=4, num_heads=2, window_pixels=window_pixels),
+        neck=NeckConfig(in_dim=64, out_dims=(16, 32, 48, 64), img_size=(64, 64),
+                        hide_dim=64,
+                        two_way=TwoWayConfig(depth=3, embedding_dim=64,
+                                             num_heads=4, mlp_dim=64)),
+        head=HeadConfig(in_channels=(16, 32, 48, 64), channels=32, d_model=64),
+        num_max_points=6,
+    )
+
+
+def test_pos2d_matches_reference_formula():
+    """Element-by-element check of the interleaved sin/cos encoding
+    (transformer.py:290-318)."""
+    import math
+    d, h, w = 16, 3, 4
+    pe = pos2d_interleaved(d, h, w)            # (h*w, d)
+    dm = d // 2
+    div = np.exp(np.arange(0, dm, 2) * -(math.log(10000.0) / dm))
+    for y in range(h):
+        for x in range(w):
+            row = pe[y * w + x]
+            for j, dv in enumerate(div):
+                assert np.isclose(row[2 * j], np.sin(x * dv), atol=1e-6)
+                assert np.isclose(row[2 * j + 1], np.cos(x * dv), atol=1e-6)
+                assert np.isclose(row[dm + 2 * j], np.sin(y * dv), atol=1e-6)
+                assert np.isclose(row[dm + 2 * j + 1], np.cos(y * dv), atol=1e-6)
+
+
+def test_patchify_roundtrip_and_window_layout():
+    cfg = ViTConfig(img_size=(64, 64), patch_size=(16, 16), embed_dim=8,
+                    window_pixels=32)   # 4x4 grid, 2x2 windows of 2x2 tokens
+    x = jnp.arange(2 * 16 * 8, dtype=jnp.float32).reshape(2, 16, 8)
+    w = _patchify(x, cfg)
+    assert w.shape == (2 * 4, 4, 8)
+    # window 0 of batch 0 must contain tokens (0,0),(0,1),(1,0),(1,1) of the 4x4 grid
+    grid = np.asarray(x[0]).reshape(4, 4, 8)
+    np.testing.assert_array_equal(np.asarray(w[0]),
+                                  grid[:2, :2].reshape(4, 8))
+    back = _unpatchify(w, cfg)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_window_blocks_match_manual_grouping():
+    """depth=4 -> blocks_per_group=1 -> every block global (i%1==0)."""
+    cfg = ViTConfig(img_size=(64, 64), patch_size=(16, 16), embed_dim=32,
+                    depth=4, num_heads=2, window_pixels=32)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    out = vit_backbone_forward(params, cfg, x)
+    assert out.shape == (2, 16, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_window_vs_global_differ_when_windowed():
+    """depth=8 -> blocks_per_group=2 -> odd blocks run windowed; output must
+    differ from a config where windows are disabled (window covers grid)."""
+    key = jax.random.PRNGKey(0)
+    cfg_w = ViTConfig(img_size=(64, 64), patch_size=(16, 16), embed_dim=32,
+                      depth=8, num_heads=2, window_pixels=32)
+    cfg_g = ViTConfig(img_size=(64, 64), patch_size=(16, 16), embed_dim=32,
+                      depth=8, num_heads=2, window_pixels=64)
+    params = init_vit(key, cfg_w)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out_w = vit_backbone_forward(params, cfg_w, x)
+    out_g = vit_backbone_forward(params, cfg_g, x)
+    assert not np.allclose(np.asarray(out_w), np.asarray(out_g), atol=1e-4)
+
+
+def test_two_way_shapes_and_intermediates():
+    cfg = TwoWayConfig(depth=3, embedding_dim=64, num_heads=4, mlp_dim=128)
+    params = init_two_way(jax.random.PRNGKey(0), cfg)
+    q = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 64))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 64))
+    inter = two_way_forward(params, cfg, q, x, (4, 4))
+    assert len(inter) == 3
+    for qi, ki in inter:
+        assert qi.shape == (2, 12, 64)
+        assert ki.shape == (2, 16, 64)
+    # first-layer self-attn has no residual: queries after block 0 should not
+    # equal input plus something trivially
+    assert np.isfinite(np.asarray(inter[-1][0])).all()
+
+
+def test_vpu_forward_shapes_and_jit():
+    cfg = tiny_cfg()
+    params = init_vpu(jax.random.PRNGKey(0), cfg)
+    b, n = 2, cfg.num_max_points
+    image = jax.random.uniform(jax.random.PRNGKey(1), (b, 64, 64, 4))
+    points = np.full((b, 2 * n, 3), -1, np.float32)
+    points[0, 0] = (20, 30, 0)
+    points[1, n] = (10, 10, 0)
+    points = jnp.asarray(points)
+
+    fwd = jax.jit(lambda p, im, pts: vpu_forward(p, cfg, im, pts))
+    out = fwd(params, image, points)
+    assert out["instances"].shape == (b, 64, 64, 1)
+    assert out["instances_aux"].shape == (b, 64, 64, 2 * n)
+    assert np.isfinite(np.asarray(out["instances"])).all()
+    aux = np.asarray(out["instances_aux"])
+    assert aux.min() >= -1e-5 and aux.max() <= 1.0 + 1e-5   # P2CL in [0,1]
+
+
+def test_vpu_forward_box_and_scribble_types():
+    cfg = tiny_cfg()
+    params = init_vpu(jax.random.PRNGKey(0), cfg)
+    b, n = 1, cfg.num_max_points
+    image = jax.random.uniform(jax.random.PRNGKey(1), (b, 64, 64, 4))
+    points = jnp.asarray(np.full((b, 2 * n, 3), -1, np.float32))
+    boxes = jnp.asarray(np.array([[32, 32, 30, 24, 0]], np.float32))
+    scr = jnp.asarray(np.random.default_rng(0).uniform(0, 64, (b, 1, 50, 2))
+                      .astype(np.float32))
+    rects = jnp.asarray(np.array([[[32, 32, 30, 24]]], np.float32))
+
+    out_box = vpu_forward(params, cfg, image, points, boxes=boxes, prompt_type=1)
+    assert out_box["instances"].shape == (b, 64, 64, 1)
+    out_scr = vpu_forward(params, cfg, image, points,
+                          scribbles=(scr, rects), prompt_type=2)
+    assert out_scr["instances"].shape == (b, 64, 64, 1)
+
+
+def test_vpu_gradients_flow():
+    cfg = tiny_cfg()
+    params = init_vpu(jax.random.PRNGKey(0), cfg)
+    image = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 4))
+    points = np.full((1, 12, 3), -1, np.float32)
+    points[0, 0] = (20, 30, 0)
+    points = jnp.asarray(points)
+
+    def loss(p):
+        out = vpu_forward(p, cfg, image, points)
+        return jnp.mean(jnp.square(out["instances"])) + \
+            jnp.mean(jnp.square(out["instances_aux"]))
+
+    grads = jax.grad(loss)(params)
+    gnorms = jax.tree.map(lambda g: float(jnp.sum(jnp.abs(g))), grads)
+    # backbone + neck + head all receive gradient
+    assert gnorms["backbone"]["blocks"][0]["attn"]["qkv"]["w"] > 0
+    assert gnorms["neck"]["ffn"]["fc1"]["w"] > 0
+    assert gnorms["head"]["conv_seg"]["w"] > 0
+    assert gnorms["patch_embed_coords"]["w"] > 0
+
+
+def test_vpu_base_config_dims():
+    cfg = vpu_base_config()
+    assert cfg.backbone.grid_size == (28, 28)
+    assert cfg.neck.prompt_dim == 899
+    assert cfg.head.out_channels == 256
+    assert cfg.ppue.vec_dim == 899
