@@ -1,0 +1,323 @@
+"""Jit-compiled interactive click predictor — one XLA dispatch per click.
+
+This is the TPU-native re-expression of the reference's mutable object web
+(`isegm/inference/predictors/base.py` + `clicker.py` + `transforms/zoom_in.py`
++ `transforms/flip.py`): an immutable `SessionState` threaded through a pure
+`click_step` that fuses, in a single compiled program:
+
+  1. oracle next-click selection (exact EDT over FN/FP error masks —
+     clicker.py:29-56, replaces the per-click cv2 host round trip);
+  2. zoom-in ROI maintenance (data-dependent ROI bounds as traced scalars,
+     fixed 448x448 crop — zoom_in.py:30-67,156-200);
+  3. crop + resize of image/prev-mask, click coordinate remap
+     (zoom_in.py:141-153), horizontal-flip TTA batch of 2 (flip.py:8-21);
+  4. PPuE prompt encoding + disk maps + the full ViT/DMA/head forward;
+  5. flip-average of logits, sigmoid, paste-back into the full-resolution
+     canvas (flip.py:23-28, base.py:24-38, zoom_in.py:94-112);
+  6. IoU against the ground truth (inference/utils.py:80-87).
+
+Variable image sizes are handled by padding onto a bucketed canvas (the
+padded region carries gt=0 / probs=0, so EDT, ROI and IoU are unaffected);
+the step recompiles once per canvas bucket, never per image.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.vpu import VPUConfig, vpu_forward
+from ..ops.edt import next_click_from_error
+from ..ops.resize import roi_crop_resize, roi_paste_back
+
+
+@dataclasses.dataclass(frozen=True)
+class PredictorConfig:
+    model: VPUConfig
+    target_size: Tuple[int, int] = (448, 448)
+    with_flip: bool = True
+    prob_thresh: float = 0.49          # mask / next-click threshold
+    zoom_prob_thresh: float = 0.50     # ZoomIn's internal threshold (zoom_in.py:16)
+    expansion_ratio: float = 1.4
+    min_crop_size: int = 200
+    recompute_thresh_iou: float = 0.5
+    skip_clicks: int = -1              # cvpr eval mode (evaluate_vpumodel.py:190)
+    cascade_step: int = 0              # CFR-ICL cascade (base.py:59-72)
+    cascade_adaptive: bool = False
+    cascade_clicks: int = 1
+    canvas_bucket: int = 64
+
+
+class SessionState(NamedTuple):
+    image: jnp.ndarray        # (1, Hc, Wc, 3) f32 in [0, 1]
+    gt: jnp.ndarray           # (Hc, Wc) f32: 1 obj, 0 bg, -1 ignore (pad = 0)
+    prev_probs: jnp.ndarray   # (1, Hc, Wc, 1) f32
+    points: jnp.ndarray       # (1, 2N, 3) f32 canvas coords (y, x, order)
+    not_clicked: jnp.ndarray  # (Hc, Wc) bool
+    roi: jnp.ndarray          # (4,) int32 (rmin, rmax, cmin, cmax) inclusive
+    has_roi: jnp.ndarray      # () bool
+    num_pos: jnp.ndarray      # () int32
+    num_neg: jnp.ndarray      # () int32
+    click_count: jnp.ndarray  # () int32
+    img_h: jnp.ndarray        # () int32 valid extent
+    img_w: jnp.ndarray        # () int32
+
+
+def init_session(image: np.ndarray, gt_mask: np.ndarray,
+                 num_max_points: int, canvas_hw: Tuple[int, int]) -> SessionState:
+    """image: (H, W, 3) uint8/float; gt_mask: (H, W) with {0, 1, -1}."""
+    h, w = image.shape[:2]
+    hc, wc = canvas_hw
+    img = np.zeros((1, hc, wc, 3), np.float32)
+    img[0, :h, :w] = image.astype(np.float32) / (255.0 if image.dtype == np.uint8 else 1.0)
+    gt = np.zeros((hc, wc), np.float32)
+    gt[:h, :w] = gt_mask.astype(np.float32)
+    n2 = 2 * num_max_points
+    return SessionState(
+        image=jnp.asarray(img),
+        gt=jnp.asarray(gt),
+        prev_probs=jnp.zeros((1, hc, wc, 1), jnp.float32),
+        points=jnp.full((1, n2, 3), -1.0, jnp.float32),
+        not_clicked=jnp.ones((hc, wc), bool),
+        roi=jnp.zeros((4,), jnp.int32),
+        has_roi=jnp.asarray(False),
+        num_pos=jnp.asarray(0, jnp.int32),
+        num_neg=jnp.asarray(0, jnp.int32),
+        click_count=jnp.asarray(0, jnp.int32),
+        img_h=jnp.asarray(h, jnp.int32),
+        img_w=jnp.asarray(w, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROI machinery (zoom_in.py:156-200, utils/misc.py:36-79)
+# ---------------------------------------------------------------------------
+
+def _bbox_from_mask(mask: jnp.ndarray):
+    h, w = mask.shape
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    rmin = jnp.argmax(rows).astype(jnp.int32)
+    rmax = (h - 1 - jnp.argmax(rows[::-1])).astype(jnp.int32)
+    cmin = jnp.argmax(cols).astype(jnp.int32)
+    cmax = (w - 1 - jnp.argmax(cols[::-1])).astype(jnp.int32)
+    return rmin, rmax, cmin, cmax
+
+
+def _expand_clamp_bbox(bbox, ratio: float, min_size: int, img_h, img_w):
+    rmin, rmax, cmin, cmax = [b.astype(jnp.float32) for b in bbox]
+    rc = 0.5 * (rmin + rmax)
+    cc = 0.5 * (cmin + cmax)
+    height = jnp.maximum(ratio * (rmax - rmin + 1), float(min_size))
+    width = jnp.maximum(ratio * (cmax - cmin + 1), float(min_size))
+    rmin = jnp.round(rc - 0.5 * height).astype(jnp.int32)
+    rmax = jnp.round(rc + 0.5 * height).astype(jnp.int32)
+    cmin = jnp.round(cc - 0.5 * width).astype(jnp.int32)
+    cmax = jnp.round(cc + 0.5 * width).astype(jnp.int32)
+    return (jnp.maximum(rmin, 0), jnp.minimum(rmax, img_h - 1),
+            jnp.maximum(cmin, 0), jnp.minimum(cmax, img_w - 1))
+
+
+def _segments_iou(a0, a1, b0, b1):
+    inter = jnp.maximum(0.0, jnp.minimum(a1, b1) - jnp.maximum(a0, b0) + 1.0)
+    union = jnp.maximum(1e-6, jnp.maximum(a1, b1) - jnp.minimum(a0, b0) + 1.0)
+    return inter / union
+
+
+def _bbox_iou(b1, b2):
+    b1 = [v.astype(jnp.float32) for v in b1]
+    b2 = [v.astype(jnp.float32) for v in b2]
+    return _segments_iou(b1[0], b1[1], b2[0], b2[1]) * \
+        _segments_iou(b1[2], b1[3], b2[2], b2[3])
+
+
+def _clicks_inside_roi(points: jnp.ndarray, n: int, roi) -> jnp.ndarray:
+    """check_object_roi (zoom_in.py:192-200): all positive clicks inside."""
+    pos = points[0, :n]
+    valid = pos[:, 2] >= 0
+    y, x = pos[:, 0], pos[:, 1]
+    inside = (y >= roi[0]) & (y < roi[1]) & (x >= roi[2]) & (x < roi[3])
+    return jnp.all(jnp.where(valid, inside, True))
+
+
+def _update_roi(cfg: PredictorConfig, state: SessionState, points) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One ZoomIn.transform ROI decision (zoom_in.py:40-63)."""
+    n = points.shape[1] // 2
+    pred = state.prev_probs[0, :, :, 0] > cfg.zoom_prob_thresh
+    pred_any = jnp.any(pred)
+
+    # pred mask with positive clicks stamped in (zoom_in.py:156-162)
+    pos = points[0, :n]
+    valid = pos[:, 2] >= 0
+    yy = jnp.clip(pos[:, 0].astype(jnp.int32), 0, state.gt.shape[0] - 1)
+    xx = jnp.clip(pos[:, 1].astype(jnp.int32), 0, state.gt.shape[1] - 1)
+    yy = jnp.where(valid, yy, state.gt.shape[0])     # invalid -> dropped
+    stamped = pred.at[yy, xx].set(True, mode="drop")
+
+    bbox = _bbox_from_mask(stamped)
+    obj_roi = _expand_clamp_bbox(bbox, cfg.expansion_ratio, cfg.min_crop_size,
+                                 state.img_h, state.img_w)
+    full_roi = (jnp.int32(0), state.img_h - 1, jnp.int32(0), state.img_w - 1)
+
+    current = tuple(jnp.where(pred_any, o, f) for o, f in zip(obj_roi, full_roi))
+    current = jnp.stack(current)
+
+    update = (~state.has_roi) | \
+        (~_clicks_inside_roi(points, n, state.roi)) | \
+        (_bbox_iou(current, state.roi) < cfg.recompute_thresh_iou)
+    roi = jnp.where(update, current, state.roi)
+    return roi, jnp.asarray(True)
+
+
+# ---------------------------------------------------------------------------
+# click step
+# ---------------------------------------------------------------------------
+
+def _transform_points(points: jnp.ndarray, roi, crop_hw: Tuple[int, int],
+                      with_flip: bool) -> jnp.ndarray:
+    """Canvas clicks -> zoomed coords (zoom_in.py:141-153), plus the flipped
+    duplicate batch (flip.py:9-21). Invalid slots stay (-1,-1,-1)."""
+    ch, cw = crop_hw
+    rmin, rmax, cmin, cmax = roi[0], roi[1], roi[2], roi[3]
+    y = points[..., 0]
+    x = points[..., 1]
+    order = points[..., 2]
+    valid = order >= 0
+    ny = ch * (y - rmin) / (rmax - rmin + 1).astype(jnp.float32)
+    nx = cw * (x - cmin) / (cmax - cmin + 1).astype(jnp.float32)
+    t = jnp.stack([jnp.where(valid, ny, -1.0), jnp.where(valid, nx, -1.0),
+                   order], axis=-1)
+    if not with_flip:
+        return t
+    tf = jnp.stack([t[..., 0], jnp.where(valid, cw - t[..., 1] - 1, -1.0),
+                    order], axis=-1)
+    return jnp.concatenate([t, tf], axis=0)
+
+
+def _forward_round(params, cfg: PredictorConfig, state: SessionState,
+                   points: jnp.ndarray, prev_probs: jnp.ndarray):
+    """ROI update + crop + net forward + paste-back, using `prev_probs`."""
+    st = state._replace(prev_probs=prev_probs)
+    roi, has_roi = _update_roi(cfg, st, points)
+    roi_t = (roi[0], roi[1], roi[2], roi[3])
+
+    th, tw = cfg.target_size
+    net_in = jnp.concatenate([state.image, prev_probs], axis=-1)
+    crop = roi_crop_resize(net_in, roi_t, th, tw)           # (1, th, tw, 4)
+    if cfg.with_flip:
+        crop = jnp.concatenate([crop, crop[:, :, ::-1, :]], axis=0)
+
+    pts = _transform_points(points, roi, (th, tw), cfg.with_flip)
+
+    out = vpu_forward(params, cfg.model, crop, pts, prompt_type=0)
+    logits = out["instances"]                               # (B, th, tw, 1)
+    if cfg.with_flip:
+        logits = 0.5 * (logits[:1] + logits[1:, :, ::-1, :])
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    hc, wc = state.gt.shape
+    canvas = roi_paste_back(probs, roi_t, hc, wc)           # (1, hc, wc, 1)
+    return canvas, roi, has_roi
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def click_step(params, cfg: PredictorConfig, state: SessionState):
+    """One full interactive round. Returns (new_state, iou)."""
+    n = state.points.shape[1] // 2
+
+    # --- 1. oracle next click (clicker.py:21-69) ---
+    pred = state.prev_probs[0, :, :, 0] > cfg.prob_thresh
+    gt_pos = state.gt == 1
+    not_ignore = state.gt != -1
+    fn = gt_pos & (~pred) & not_ignore
+    fp = (~gt_pos) & pred & not_ignore
+    is_pos, cy, cx, _ = next_click_from_error(fn, fp, state.not_clicked)
+
+    order = state.click_count.astype(jnp.float32)
+    row = jnp.stack([cy.astype(jnp.float32), cx.astype(jnp.float32), order])
+    slot = jnp.where(is_pos,
+                     jnp.minimum(state.num_pos, n - 1),
+                     n + jnp.minimum(state.num_neg, n - 1))
+    points = state.points.at[0, slot].set(row)
+    num_pos = state.num_pos + is_pos.astype(jnp.int32)
+    num_neg = state.num_neg + (~is_pos).astype(jnp.int32)
+    not_clicked = state.not_clicked.at[cy, cx].set(False)
+    click_count = state.click_count + 1
+
+    st = state._replace(points=points, num_pos=num_pos, num_neg=num_neg,
+                        not_clicked=not_clicked, click_count=click_count)
+
+    # --- 2. forward (with optional CFR cascade, base.py:59-72) ---
+    probs, roi, has_roi = _forward_round(params, cfg, st, points,
+                                         st.prev_probs)
+    if cfg.cascade_step > 1:
+        active = click_count <= cfg.cascade_clicks
+        for _ in range(cfg.cascade_step - 1):
+            def _again(p):
+                return _forward_round(params, cfg, st, points, p)[0]
+            nxt = jax.lax.cond(active, _again, lambda p: probs, probs)
+            if cfg.cascade_adaptive:
+                diff = jnp.sum((nxt > cfg.prob_thresh) != (probs > cfg.prob_thresh))
+                active = active & (diff > 20)
+            probs = nxt
+
+    st = st._replace(prev_probs=probs, roi=roi, has_roi=has_roi)
+
+    # --- 3. IoU (inference/utils.py:80-87) ---
+    pm = probs[0, :, :, 0] > cfg.prob_thresh
+    inter = jnp.sum(pm & gt_pos & not_ignore)
+    union = jnp.sum((pm | gt_pos) & not_ignore)
+    iou = inter.astype(jnp.float32) / jnp.maximum(union.astype(jnp.float32), 1.0)
+    return st, iou
+
+
+# ---------------------------------------------------------------------------
+# host-side driver
+# ---------------------------------------------------------------------------
+
+class Predictor:
+    """Host wrapper: canvas bucketing, per-shape compile cache, undo stack.
+
+    Mirrors the reference controller/predictor session surface
+    (interactive_demo/controller.py:48-100) headlessly.
+    """
+
+    def __init__(self, params, cfg: PredictorConfig):
+        self.params = params
+        self.cfg = cfg
+        self.state: Optional[SessionState] = None
+        self._undo: list = []
+
+    def _canvas(self, h: int, w: int) -> Tuple[int, int]:
+        b = self.cfg.canvas_bucket
+        return (-(-h // b) * b, -(-w // b) * b)
+
+    def set_input(self, image: np.ndarray, gt_mask: np.ndarray):
+        canvas = self._canvas(*image.shape[:2])
+        self.state = init_session(image, gt_mask,
+                                  self.cfg.model.num_max_points, canvas)
+        self._undo = []
+
+    def next_click(self) -> float:
+        """Run one oracle-driven interactive round; returns IoU."""
+        self._undo.append(self.state)
+        self.state, iou = click_step(self.params, self.cfg, self.state)
+        return float(iou)
+
+    def undo_click(self) -> None:
+        if self._undo:
+            self.state = self._undo.pop()
+
+    @property
+    def probs(self) -> np.ndarray:
+        h = int(self.state.img_h)
+        w = int(self.state.img_w)
+        return np.asarray(self.state.prev_probs[0, :h, :w, 0])
+
+    @property
+    def clicks(self) -> np.ndarray:
+        return np.asarray(self.state.points[0])

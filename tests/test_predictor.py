@@ -1,0 +1,126 @@
+"""End-to-end interactive loop tests on a tiny model + synthetic data:
+click placement parity, zoom-in ROI behavior, NoC machinery, undo."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pvpuformer_tpu.inference.predictor import (PredictorConfig, Predictor,
+                                                init_session, click_step)
+from pvpuformer_tpu.inference.evaluation import (evaluate_dataset,
+                                                 compute_noc_metric,
+                                                 mean_iou_per_click,
+                                                 get_results_table, get_iou)
+from pvpuformer_tpu.inference.datasets import SyntheticDataset
+from pvpuformer_tpu.models.vpu import init_vpu
+from test_models import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = PredictorConfig(model=tiny_cfg(), target_size=(64, 64),
+                          canvas_bucket=32)
+    params = init_vpu(jax.random.PRNGKey(0), cfg.model)
+    return Predictor(params, cfg)
+
+
+def test_first_click_lands_at_gt_edt_center(predictor):
+    """With an empty prediction, the first click must be the exact-EDT center
+    of the gt object (clicker semantics)."""
+    import cv2
+    ds = SyntheticDataset(1, hw=(60, 90))
+    s = ds.get_sample(0)
+    gt = s.gt_mask(0)
+    predictor.set_input(s.image, gt)
+    predictor.next_click()
+    clicks = predictor.clicks
+    n = predictor.cfg.model.num_max_points
+    assert clicks[0, 2] == 0          # first positive slot used
+    assert np.all(clicks[1:, 2] == -1)
+
+    dt = cv2.distanceTransform(np.pad(gt.astype(np.uint8), 1), cv2.DIST_L2, 0)[1:-1, 1:-1]
+    ys, xs = np.where(dt == dt.max())
+    assert (int(clicks[0, 0]), int(clicks[0, 1])) == (int(ys[0]), int(xs[0]))
+
+
+def test_click_polarity_tracks_error_masks(predictor):
+    """Force a huge false-positive prediction; the next click must be negative."""
+    ds = SyntheticDataset(2, hw=(60, 90))
+    s = ds.get_sample(1)
+    gt = s.gt_mask(0)
+    predictor.set_input(s.image, gt)
+    st = predictor.state
+    # fake previous prediction: everything predicted positive
+    fake = jnp.ones_like(st.prev_probs) * 0.9
+    # keep padding at zero like a real paste-back would
+    h, w = gt.shape
+    mask = np.zeros(fake.shape, np.float32)
+    mask[0, :h, :w, 0] = 1
+    predictor.state = st._replace(prev_probs=fake * jnp.asarray(mask))
+    predictor.next_click()
+    clicks = predictor.clicks
+    n = predictor.cfg.model.num_max_points
+    assert np.all(clicks[:n, 2] == -1)       # no positive click
+    assert clicks[n, 2] >= 0                 # negative slot used
+    y, x = int(clicks[n, 0]), int(clicks[n, 1])
+    assert gt[y, x] == 0                     # clicked inside the FP region
+
+
+def test_session_loop_runs_and_fills_slots(predictor):
+    ds = SyntheticDataset(1, hw=(60, 90))
+    s = ds.get_sample(0)
+    predictor.set_input(s.image, s.gt_mask(0))
+    ious = [predictor.next_click() for _ in range(5)]
+    assert len(ious) == 5
+    assert all(0.0 <= v <= 1.0 for v in ious)
+    assert int(predictor.state.click_count) == 5
+    # undo restores state
+    predictor.undo_click()
+    assert int(predictor.state.click_count) == 4
+    # probs confined to the valid extent
+    assert predictor.probs.shape == (60, 90)
+
+
+def test_roi_starts_full_image_then_tracks_object(predictor):
+    ds = SyntheticDataset(1, hw=(60, 90))
+    s = ds.get_sample(0)
+    predictor.set_input(s.image, s.gt_mask(0))
+    predictor.next_click()
+    roi = np.asarray(predictor.state.roi)
+    # first click: empty prev mask -> full (valid) image ROI
+    np.testing.assert_array_equal(roi, [0, 59, 0, 89])
+
+
+def test_evaluate_dataset_and_noc_machinery(predictor):
+    ds = SyntheticDataset(2, hw=(60, 90))
+    all_ious, elapsed = evaluate_dataset(ds, predictor, max_iou_thr=2.0,
+                                         max_clicks=3)
+    assert len(all_ious) == 2
+    assert all(len(a) == 3 for a in all_ious)
+
+    # NoC computation matches a hand-rolled oracle
+    curves = [np.array([0.5, 0.86, 0.97]), np.array([0.91, 0.95, 0.99])]
+    noc, std, over = compute_noc_metric(curves, [0.85, 0.9], max_clicks=3)
+    assert noc[0] == (2 + 1) / 2      # first curve reaches .85 at click 2
+    assert noc[1] == (3 + 1) / 2
+    assert over == [0, 1]
+
+    miou = mean_iou_per_click(curves, max_clicks=4)
+    assert miou.shape == (4,)
+    assert np.isclose(miou[3], (0.97 + 0.99) / 2)
+
+    header, row = get_results_table([1.0, 2.0, 3.0, 4.0], [0, 1, 2, 3],
+                                    "NoBRS", "Synthetic", 0.01, elapsed)
+    assert "NoC@90%" in header and "NoBRS" in row
+
+
+def test_fixed_shapes_across_images(predictor):
+    """Different image sizes in the same bucket reuse one compiled step."""
+    ds = SyntheticDataset(1, hw=(60, 90))
+    predictor.set_input(ds.get_sample(0).image, ds.get_sample(0).gt_mask(0))
+    shape1 = predictor.state.image.shape
+    ds2 = SyntheticDataset(1, hw=(50, 70), seed=3)
+    predictor.set_input(ds2.get_sample(0).image, ds2.get_sample(0).gt_mask(0))
+    shape2 = predictor.state.image.shape
+    assert shape1 == (1, 64, 96, 3)
+    assert shape2 == (1, 64, 96, 3)   # same bucket -> same compiled program
