@@ -1,1 +1,1 @@
-from . import losses, metrics  # noqa: F401
+from . import losses, metrics, optimizer, prompt_sim, train_step  # noqa: F401

@@ -1,0 +1,273 @@
+"""On-device training-time prompt simulation — batched, fixed shapes, jittable.
+
+Re-derives the reference's host-side numpy/cv2 prompt synthesis
+(`isegm/engine/trainer.py:615-768,1061-1131,1175-1190`) so the whole iterloss
+round loop stays inside one XLA program:
+
+  * `next_clicks`      = get_next_points / get_next_points_and_mask
+    (trainer.py:615-703): per sample, EDT over the FN/FP error masks, a
+    uniform random click inside the `dist > max/2` region, written to the
+    first free point slot; the per-slot error-mask label (`ed_mask_label`)
+    for P2CL gets the FN (or FP) mask at that slot.
+  * `synth_boxes`      = cal_box (trainer.py:1061-1131): bbox of the dominant
+    error region (largest connected component, merged with components
+    covering >10% of the error area — max_connected_regions semantics,
+    trainer.py:1175-1190), with +/-`set_offset` random jitter; or the GT bbox
+    when `as_allmask`.
+  * `connected_regions_mask` = max_connected_regions on device via iterative
+    label propagation (3x3 max-pool + segmented row/column max-scans).
+
+Documented deviations from the reference (training-data randomness only):
+  * the EDT here is exact; trainer.py:628-629 uses cv2's 5x5 chamfer
+    approximation (the eval-path clicker uses the exact transform, which we
+    match exactly — see ops/edt.py);
+  * max_connected_regions' in-loop relabel-to-running-max bug (a merged
+    region can later be zeroed when a bigger component appears,
+    trainer.py:1183-1188) is not replicated: we keep the union of the largest
+    component and every component covering >10% of the error area.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.edt import squared_edt
+
+
+# ---------------------------------------------------------------------------
+# connected components (per sample)
+# ---------------------------------------------------------------------------
+
+def _segmented_axis_max(lab: jnp.ndarray, mask: jnp.ndarray,
+                        axis: int) -> jnp.ndarray:
+    """Max label within each contiguous True-run of `mask` along `axis`."""
+    reset = ~mask
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.maximum(av, bv)), ar | br
+
+    fwd, _ = jax.lax.associative_scan(combine, (lab, reset), axis=axis)
+    bwd, _ = jax.lax.associative_scan(combine, (lab, reset), axis=axis,
+                                      reverse=True)
+    return jnp.where(mask, jnp.maximum(fwd, bwd), 0)
+
+
+def _maxpool3(lab: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(lab, jnp.iinfo(lab.dtype).min, jax.lax.max,
+                                 (3, 3), (1, 1), "SAME")
+
+
+def cc_labels(mask: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """8-connected component labels of (H, W) bool mask; 0 = background,
+    components share the max flat-index + 1 of their pixels."""
+    h, w = mask.shape
+    idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    lab = jnp.where(mask, idx, 0)
+
+    def body(_, lab):
+        lab = jnp.where(mask, _maxpool3(lab), 0)
+        lab = _segmented_axis_max(lab, mask, axis=1)
+        lab = _segmented_axis_max(lab, mask, axis=0)
+        return lab
+
+    return jax.lax.fori_loop(0, iters, body, lab)
+
+
+def connected_regions_mask(mask: jnp.ndarray, keep_frac: float = 0.1,
+                           iters: int = 8) -> jnp.ndarray:
+    """max_connected_regions (trainer.py:1175-1190): the largest 8-connected
+    component, unioned with every component covering > keep_frac of the
+    foreground. (H, W) bool -> (H, W) bool."""
+    h, w = mask.shape
+    lab = cc_labels(mask, iters)
+    sizes = jnp.zeros((h * w + 1,), jnp.int32).at[lab.reshape(-1)].add(
+        mask.reshape(-1).astype(jnp.int32))
+    sizes = sizes.at[0].set(0)
+    largest = jnp.argmax(sizes)
+    total = jnp.sum(mask).astype(jnp.float32)
+    comp_size = sizes[lab].astype(jnp.float32)
+    keep = mask & ((lab == largest) | (comp_size > keep_frac * total))
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# next click (per sample, vmapped)
+# ---------------------------------------------------------------------------
+
+def _first_free_slot(orders: jnp.ndarray, fallback: int) -> jnp.ndarray:
+    """First index with order < 0, else `fallback` (trainer.py:641-652)."""
+    free = orders < 0
+    return jnp.where(jnp.any(free), jnp.argmax(free), fallback).astype(jnp.int32)
+
+
+class ClickInfo(NamedTuple):
+    has_click: jnp.ndarray    # (B,) bool
+    is_positive: jnp.ndarray  # (B,) bool
+    y: jnp.ndarray            # (B,) int32
+    x: jnp.ndarray            # (B,) int32
+    slot: jnp.ndarray         # (B,) int32
+    fn_mask: jnp.ndarray      # (B, H, W) bool
+    fp_mask: jnp.ndarray      # (B, H, W) bool
+
+
+def _next_click_one(pred: jnp.ndarray, gt: jnp.ndarray, orders: jnp.ndarray,
+                    key: jax.Array, pred_thresh: float, n: int):
+    """pred/gt: (H, W); orders: (2N,). Returns click fields."""
+    gtm = gt > 0.5
+    fn = gtm & (pred < pred_thresh)
+    fp = (~gtm) & (pred > pred_thresh)
+
+    d_fn = squared_edt(fn)
+    d_fp = squared_edt(fp)
+    fn_max = jnp.max(d_fn)
+    fp_max = jnp.max(d_fp)
+    is_positive = fn_max > fp_max
+    d = jnp.where(is_positive, d_fn, d_fp)
+    # linear-distance threshold dt > max/2 <=> squared > max^2/4
+    inner = d > jnp.maximum(fn_max, fp_max) / 4.0
+    has_click = jnp.any(inner)
+
+    g = jax.random.gumbel(key, d.shape)
+    score = jnp.where(inner, g, -jnp.inf)
+    flat = jnp.argmax(score.reshape(-1))
+    w = pred.shape[1]
+    y = (flat // w).astype(jnp.int32)
+    x = (flat % w).astype(jnp.int32)
+
+    slot_pos = _first_free_slot(orders[:n], n - 1)
+    slot_neg = _first_free_slot(orders[n:], n - 1) + n
+    slot = jnp.where(is_positive, slot_pos, slot_neg)
+    return has_click, is_positive, y, x, slot, fn, fp
+
+
+def next_clicks(pred: jnp.ndarray, gt: jnp.ndarray, points: jnp.ndarray,
+                key: jax.Array, pred_thresh: float = 0.49
+                ) -> Tuple[jnp.ndarray, ClickInfo]:
+    """Batched get_next_points (trainer.py:615-654).
+
+    pred: (B, H, W) probabilities; gt: (B, H, W); points: (B, 2N, 3).
+    Returns (updated points, ClickInfo for the ed-mask update)."""
+    b, twon, _ = points.shape
+    n = twon // 2
+    keys = jax.random.split(key, b)
+    has, pos, ys, xs, slots, fns, fps = jax.vmap(
+        lambda p, g, o, k: _next_click_one(p, g, o, k, pred_thresh, n)
+    )(pred, gt, points[:, :, 2], keys)
+
+    order = jnp.maximum(jnp.max(points[:, :, 2], axis=1), 0.0) + 1.0
+    row = jnp.stack([ys.astype(jnp.float32), xs.astype(jnp.float32), order],
+                    axis=-1)                                   # (B, 3)
+    bidx = jnp.arange(b)
+    new_rows = jnp.where(has[:, None], row, points[bidx, slots])
+    points = points.at[bidx, slots].set(new_rows)
+    return points, ClickInfo(has, pos, ys, xs, slots, fns, fps)
+
+
+def update_ed_mask(ed_mask: jnp.ndarray, info: ClickInfo) -> jnp.ndarray:
+    """ed_mask_label[b, slot] = fn (positive) / fp (negative) for samples
+    that produced a click (trainer.py:686-702). ed_mask: (B, H, W, 2N) bool."""
+    err = jnp.where(info.is_positive[:, None, None], info.fn_mask,
+                    info.fp_mask)                              # (B, H, W)
+    onehot = jax.nn.one_hot(info.slot, ed_mask.shape[-1], dtype=jnp.bool_)
+    sel = onehot[:, None, None, :] & info.has_click[:, None, None, None]
+    return jnp.where(sel, err[..., None], ed_mask)
+
+
+# ---------------------------------------------------------------------------
+# box synthesis (cal_box, trainer.py:1061-1131)
+# ---------------------------------------------------------------------------
+
+def _bbox(mask: jnp.ndarray):
+    """(H, W) bool -> (y0, y1, x0, x1) int32 of the True region."""
+    h, w = mask.shape
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    y0 = jnp.argmax(rows).astype(jnp.int32)
+    y1 = (h - 1 - jnp.argmax(rows[::-1])).astype(jnp.int32)
+    x0 = jnp.argmax(cols).astype(jnp.int32)
+    x1 = (w - 1 - jnp.argmax(cols[::-1])).astype(jnp.int32)
+    return y0, y1, x0, x1
+
+
+def _synth_box_one(gt: jnp.ndarray, fn: jnp.ndarray, fp: jnp.ndarray,
+                   orders: jnp.ndarray, key: jax.Array, n: int,
+                   as_allmask: bool, jitter: bool, set_offset: int,
+                   h: int, w: int) -> jnp.ndarray:
+    if as_allmask:
+        mask = gt > 0.5
+        loc = _first_free_slot(orders[:n], n - 1)
+    else:
+        is_positive = jnp.sum(fn) > jnp.sum(fp)
+        err = jnp.where(is_positive, fn, fp)
+        mask = connected_regions_mask(err)
+        loc_pos = jnp.int32(n - 1)        # reference hardcodes this (1087)
+        loc_neg = _first_free_slot(orders[n:], n - 1) + n
+        loc = jnp.where(is_positive, loc_pos, loc_neg)
+
+    nonempty = jnp.any(mask)
+    y0, y1, x0, x1 = _bbox(mask)
+
+    if jitter:
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        off = jax.random.randint(k1, (), -set_offset, 1)
+        bx0 = jnp.minimum(jnp.maximum(x0 + off, 0), w - set_offset)
+        off = jax.random.randint(k2, (), 0, set_offset + 1)
+        bx1 = jnp.maximum(jnp.minimum(x1 + off, w), bx0 + set_offset)
+        off = jax.random.randint(k3, (), -set_offset, 1)
+        by0 = jnp.minimum(jnp.maximum(y0 + off, 0), h - set_offset)
+        off = jax.random.randint(k4, (), 0, set_offset + 1)
+        by1 = jnp.maximum(jnp.minimum(y1 + off, h), by0 + set_offset)
+        y0, y1, x0, x1 = by0, by1, bx0, bx1
+
+    xc = (x0 + x1) // 2
+    yc = (y0 + y1) // 2
+    bw = x1 - x0
+    bh = y1 - y0
+    ok = nonempty & (xc >= 1) & (yc >= 1) & (bw >= 1) & (bh >= 1)
+    box = jnp.stack([xc, yc, bw, bh, loc]).astype(jnp.int32)
+    return jnp.where(ok, box, jnp.zeros((5,), jnp.int32))
+
+
+def synth_boxes(gt: jnp.ndarray, fn: jnp.ndarray, fp: jnp.ndarray,
+                points: jnp.ndarray, key: jax.Array,
+                as_allmask: bool = False, jitter: bool = True,
+                set_offset: int = 10) -> jnp.ndarray:
+    """Batched cal_box. gt/fn/fp: (B, H, W); points: (B, 2N, 3).
+    Returns (B, 5) int32 [x_center, y_center, width, height, slot]."""
+    b, twon, _ = points.shape
+    n = twon // 2
+    h, w = gt.shape[1], gt.shape[2]
+    keys = jax.random.split(key, b)
+    return jax.vmap(
+        lambda g, f1, f2, o, k: _synth_box_one(
+            g, f1, f2, o, k, n, as_allmask, jitter, set_offset, h, w)
+    )(gt, fn, fp, points[:, :, 2], keys)
+
+
+# ---------------------------------------------------------------------------
+# combined round update (get_next_promts, trainer.py:703-768)
+# ---------------------------------------------------------------------------
+
+def get_next_prompts(pred: jnp.ndarray, gt: jnp.ndarray, points: jnp.ndarray,
+                     ed_mask: jnp.ndarray, key: jax.Array,
+                     pred_thresh: float = 0.49, as_allmask: bool = False,
+                     jitter_box: bool = True, update_points: bool = True):
+    """One round of prompt simulation: boxes from the current error masks +
+    the next click + ed-mask labels. Scribbles are supplied by the data
+    pipeline (they depend only on gt — trainer.py:727 calls cal_scribble(gt)).
+
+    pred/gt: (B, H, W); points: (B, 2N, 3); ed_mask: (B, H, W, 2N) bool.
+    Returns (points, boxes (B,5), ed_mask)."""
+    kc, kb = jax.random.split(key)
+    new_points, info = next_clicks(pred, gt, points, kc, pred_thresh)
+    boxes = synth_boxes(gt, info.fn_mask, info.fp_mask, points, kb,
+                        as_allmask=as_allmask, jitter=jitter_box)
+    if not update_points:
+        # click_indx == 0 path (trainer.py:370-376): boxes/scribbles only
+        return points, boxes, ed_mask
+    return new_points, boxes, update_ed_mask(ed_mask, info)

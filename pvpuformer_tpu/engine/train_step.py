@@ -1,0 +1,191 @@
+"""The iterloss training step — one XLA program per (num_iters, batch shape).
+
+Re-derives ISTrainer.batch_forward's iterloss branch
+(`isegm/engine/trainer.py:310-491`) as a pure jitted function:
+
+  per batch: num_iters in [1, max_num_next_clicks] rounds (drawn on host,
+  passed static so each variant compiles once); each round
+    1. draws as_prompt_type = randint(0, 1) (trainer.py:367) — traced;
+    2. at round 0 synthesizes boxes from the initial error masks without
+       touching points (trainer.py:369-376);
+    3. forwards (image ++ stop_grad(prev_probs)) with the PPuE prompts;
+    4. accumulates NFL(instances, gt) * w + Dice * w + 2 * BCE(P2CL, ed) * w,
+       w = iterloss_weights[round] (trainer.py:399-419, loss cfg at
+       vpu_base448_cocolvis.py:73-80);
+    5. prev = sigmoid(instances) (trainer.py:427-431);
+    6. next prompts from the new error masks: next click + per-slot ed-mask
+       labels + boxes (trainer.py:434-448), all on device (engine/prompt_sim);
+    7. optional prev-mask dropout (trainer.py:455-457).
+
+The reference pays a D2H/H2D + cv2 round trip per round per sample here; on
+TPU the whole loop is one dispatch. Scribble prompts come precomputed from
+the input pipeline (they depend only on gt — trainer.py:727).
+
+Scale-out: call `train_step` under a Mesh with the batch sharded over `data`
+and params replicated (or fsdp/tp-sharded, parallel/mesh.py) — the mean over
+the batch makes XLA psum the gradients; there is no DDP wrapper to port.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.vpu import VPUConfig, vpu_forward_traced_type
+from . import losses as L
+from .prompt_sim import get_next_prompts
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: VPUConfig
+    max_num_next_clicks: int = 3                    # vpu_base448_cocolvis.py:173
+    iterloss_weights: Tuple[float, ...] = (1.0, 2.0, 3.0)
+    instance_loss_weight: float = 1.0               # NFL
+    instance_aux_loss_weight: float = 1.0           # Dice
+    instance_aux3_loss_weight: float = 2.0          # P2CL BCE
+    nfl_alpha: float = 0.5
+    nfl_gamma: float = 2.0
+    pred_thresh: float = 0.49
+    use_random_clicks: bool = True
+    as_allmask: bool = False
+    prev_mask_drop_prob: float = 0.0
+    remat: bool = True                              # jax.checkpoint per round
+
+
+def _round_losses(cfg: TrainConfig, out: Dict[str, jnp.ndarray],
+                  gt: jnp.ndarray, ed_mask: jnp.ndarray, w: float,
+                  logs: Dict[str, jnp.ndarray], k: int) -> jnp.ndarray:
+    """The three configured losses for one round (trainer.py:399-419)."""
+    total = jnp.float32(0.0)
+    nfl = jnp.mean(L.normalized_focal_loss(
+        out["instances"], gt, alpha=cfg.nfl_alpha, gamma=cfg.nfl_gamma))
+    logs[f"instance_loss_{k}_{int(w)}"] = nfl
+    total += cfg.instance_loss_weight * nfl * w
+
+    dice = jnp.mean(L.dice_loss(out["instances"], gt, use_sigmoid=True,
+                                naive_dice=True))
+    logs[f"instance_aux_loss_{k}_{int(w)}"] = dice
+    total += cfg.instance_aux_loss_weight * dice * w
+
+    if cfg.instance_aux3_loss_weight > 0 and out.get("instances_aux") is not None:
+        bce = jnp.mean(L.sigmoid_bce_loss(
+            out["instances_aux"], ed_mask.astype(jnp.float32),
+            from_sigmoid=True))
+        logs[f"instance_aux3_loss_{k}_{int(w)}"] = bce
+        total += cfg.instance_aux3_loss_weight * bce * w
+    return total
+
+
+def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
+                     key: jax.Array, num_iters: int
+                     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Loss + logs for one batch. batch keys: image (B,H,W,3) in [0,1],
+    instances (B,H,W,1), points (B,2N,3), scribbles (B,S,2),
+    scribble_rects (B,4)."""
+    image = batch["image"]
+    gt = batch["instances"].astype(jnp.float32)
+    points = batch["points"].astype(jnp.float32)
+    scribbles = batch["scribbles"].astype(jnp.float32)
+    rects = batch["scribble_rects"].astype(jnp.float32)
+    b, h, w, _ = image.shape
+    n = points.shape[1] // 2
+
+    gtm = gt[..., 0] > 0.5
+    # ed_mask_label init: first N slots = gt, last N = ~gt (trainer.py:329-331)
+    ed_mask = jnp.concatenate(
+        [jnp.repeat(gtm[..., None], n, axis=-1),
+         jnp.repeat((~gtm)[..., None], n, axis=-1)], axis=-1)  # (B,H,W,2N) bool
+
+    prev = jnp.zeros((b, h, w, 1), jnp.float32)
+
+    if not cfg.use_random_clicks:
+        # trainer.py:333-338: discard sampler clicks, take one error-mask click
+        key, k0 = jax.random.split(key)
+        points = jnp.full_like(points, -1.0)
+        from .prompt_sim import next_clicks
+        points, _ = next_clicks(prev[..., 0], gt[..., 0], points, k0,
+                                pred_thresh=cfg.pred_thresh)
+
+    fwd = vpu_forward_traced_type
+    if cfg.remat:
+        fwd = jax.checkpoint(fwd, static_argnums=(1,))
+
+    total = jnp.float32(0.0)
+    logs: Dict[str, jnp.ndarray] = {}
+    boxes = jnp.zeros((b, 5), jnp.int32)
+    out = None
+    for k in range(num_iters):
+        key, kp, kt, kd = jax.random.split(key, 4)
+        prompt_type = jax.random.randint(kt, (), 0, 2)      # trainer.py:367
+
+        if k == 0:
+            # boxes from the initial error masks; points/ed untouched
+            _, boxes, _ = get_next_prompts(prev[..., 0], gt[..., 0], points,
+                                           ed_mask, kp,
+                                           pred_thresh=cfg.pred_thresh,
+                                           as_allmask=cfg.as_allmask,
+                                           update_points=False)
+
+        net_input = jnp.concatenate(
+            [image, jax.lax.stop_gradient(prev).astype(image.dtype)], axis=-1)
+        out = fwd(params, cfg.model, net_input, points,
+                  boxes.astype(jnp.float32), scribbles, rects, prompt_type)
+
+        total += _round_losses(cfg, out, gt, ed_mask,
+                               cfg.iterloss_weights[k], logs, k)
+
+        prev = jax.nn.sigmoid(out["instances"].astype(jnp.float32))
+        prev = jax.lax.stop_gradient(prev)
+
+        if k < num_iters - 1:
+            key, kn = jax.random.split(key)
+            points, boxes, ed_mask = get_next_prompts(
+                prev[..., 0], gt[..., 0], points, ed_mask, kn,
+                pred_thresh=cfg.pred_thresh, as_allmask=cfg.as_allmask)
+
+            if cfg.prev_mask_drop_prob > 0:
+                keep = jax.random.uniform(kd, (b, 1, 1, 1)) >= \
+                    cfg.prev_mask_drop_prob
+                prev = prev * keep
+
+    logs["loss"] = total
+    aux = {"logs": logs, "final_instances": out["instances"],
+           "points": points}
+    return total, aux
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tx", "num_iters"),
+                   donate_argnames=("params", "opt_state"))
+def train_step(params, opt_state, batch, key, metric_thresholds,
+               *, cfg: TrainConfig, tx: optax.GradientTransformation,
+               num_iters: int):
+    """One optimization step. Returns (params, opt_state, logs, metric_ious,
+    metric_valid). metric_* feed AdaptiveIoU on host (engine/metrics.py)."""
+    (loss, aux), grads = jax.value_and_grad(
+        iterloss_forward, has_aux=True)(params, cfg, batch, key, num_iters)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    from .metrics import iou_at_thresholds
+    ious, valid = iou_at_thresholds(aux["final_instances"],
+                                    batch["instances"].astype(jnp.float32),
+                                    metric_thresholds)
+    return params, opt_state, aux["logs"], ious, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_iters"))
+def eval_step(params, batch, key, metric_thresholds, *, cfg: TrainConfig,
+              num_iters: int):
+    """Validation: same rounds, no update (trainer.py:266-298)."""
+    loss, aux = iterloss_forward(params, cfg, batch, key, num_iters)
+    from .metrics import iou_at_thresholds
+    ious, valid = iou_at_thresholds(aux["final_instances"],
+                                    batch["instances"].astype(jnp.float32),
+                                    metric_thresholds)
+    return aux["logs"], ious, valid

@@ -171,3 +171,58 @@ def vpu_forward(params, cfg: VPUConfig, image: jnp.ndarray, points: jnp.ndarray,
     else:
         out["instances_aux"] = None
     return out
+
+
+def vpu_forward_traced_type(params, cfg: VPUConfig, image: jnp.ndarray,
+                            points: jnp.ndarray, boxes: jnp.ndarray,
+                            scribbles: jnp.ndarray, scribble_rects: jnp.ndarray,
+                            prompt_type: jnp.ndarray,
+                            dropout_key: Optional[jax.Array] = None,
+                            shuffle_key: Optional[jax.Array] = None
+                            ) -> Dict[str, jnp.ndarray]:
+    """Forward with a *traced* prompt type (the training round loop draws
+    `as_prompt_type = randint(0, 1)` per round, trainer.py:367 — recompiling
+    per combination would multiply XLA programs). The three prompt encodings
+    and coord-feature variants are all cheap relative to the ViT trunk, so we
+    compute each and select with `where`; the trunk is traced once.
+
+    boxes: (B, 5); scribbles: (B, S, 2); scribble_rects: (B, 4);
+    prompt_type: () int32 in {0 click, 1 box, 2 scribble}.
+    """
+    dt = cfg.dtype
+    image = image.astype(dt)
+    rgb, prev_mask = prepare_input(cfg, image)
+
+    h, w = rgb.shape[1], rgb.shape[2]
+    disks = dist_maps(points, h, w, norm_radius=cfg.norm_radius,
+                      use_disks=cfg.use_disks).astype(rgb.dtype)
+    n = points.shape[1] // 2
+    disks_box = draw_box_into_coords(disks, boxes, n)
+    disks_scr = draw_scribble_into_coords(disks, scribbles)
+    is_box = (prompt_type == 1).astype(disks.dtype)
+    is_scr = (prompt_type == 2).astype(disks.dtype)
+    sel = disks * (1 - is_box - is_scr) + disks_box * is_box + disks_scr * is_scr
+    coords = jnp.concatenate([prev_mask, sel], axis=-1) \
+        if prev_mask is not None else sel
+
+    tokens = vpu_backbone_embed(params, cfg, rgb, coords, shuffle_key)
+
+    pv_click = ppue_click(points, cfg.ppue, num_max_points=cfg.num_max_points)
+    pv_box = ppue_box(points, boxes, cfg.ppue, num_max_points=cfg.num_max_points)
+    pv_scr = ppue_scribble(points, scribbles, scribble_rects, cfg.ppue,
+                           num_max_points=cfg.num_max_points)
+    fb = is_box.astype(pv_click.dtype)
+    fs = is_scr.astype(pv_click.dtype)
+    pv = (pv_click * (1 - fb - fs) + pv_box * fb + pv_scr * fs).astype(dt)
+
+    ms_feats, q_out = neck_forward(params["neck"], cfg.neck, tokens, pv,
+                                   cfg.backbone.grid_size)
+    seg, pcl = head_forward(params["head"], cfg.head, ms_feats, q_out,
+                            dropout_key=dropout_key)
+
+    out = {"instances": bilinear_resize(seg, h, w, align_corners=True)}
+    if cfg.with_aux_output and pcl is not None:
+        out["instances_aux"] = bilinear_resize(pcl, h, w, align_corners=True)
+    else:
+        out["instances_aux"] = None
+    return out

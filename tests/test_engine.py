@@ -1,0 +1,259 @@
+"""Engine tests: prompt simulation vs scipy oracles, optimizer schedules,
+and the fused iterloss train step on an 8-virtual-device mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy import ndimage
+
+from pvpuformer_tpu.engine import prompt_sim as PS
+from pvpuformer_tpu.engine import optimizer as OPT
+from pvpuformer_tpu.engine.train_step import TrainConfig, train_step, eval_step
+from pvpuformer_tpu.parallel import make_mesh, shard_batch, shard_params
+
+from test_models import tiny_cfg
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------- connected regions
+
+def blobby_mask(seed, h=48, w=56, nblobs=4):
+    r = rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    m = np.zeros((h, w), bool)
+    for _ in range(nblobs):
+        cy, cx = r.integers(0, h), r.integers(0, w)
+        rad = r.integers(2, 9)
+        m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= rad ** 2
+    return m
+
+
+def cc_keep_oracle(mask, keep_frac=0.1):
+    """max_connected_regions semantics (largest component + >10% components)."""
+    lab, nlab = ndimage.label(mask, structure=np.ones((3, 3)))
+    if nlab == 0:
+        return np.zeros_like(mask)
+    sizes = np.bincount(lab.ravel())
+    sizes[0] = 0
+    largest = sizes.argmax()
+    total = mask.sum()
+    keep = np.zeros_like(mask)
+    for j in range(1, nlab + 1):
+        if j == largest or sizes[j] > keep_frac * total:
+            keep |= lab == j
+    return keep
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_connected_regions_vs_scipy(seed):
+    m = blobby_mask(seed)
+    ours = np.asarray(PS.connected_regions_mask(jnp.asarray(m)))
+    np.testing.assert_array_equal(ours, cc_keep_oracle(m))
+
+
+def test_connected_regions_empty():
+    m = np.zeros((16, 16), bool)
+    assert not np.asarray(PS.connected_regions_mask(jnp.asarray(m))).any()
+
+
+# ----------------------------------------------------------------- next click
+
+def test_next_clicks_positive_case():
+    h, w, n = 40, 40, 4
+    gt = np.zeros((1, h, w), np.float32)
+    gt[0, 10:30, 10:30] = 1.0
+    pred = np.zeros((1, h, w), np.float32)   # everything missed -> FN = gt
+    points = np.full((1, 2 * n, 3), -1.0, np.float32)
+
+    pts, info = PS.next_clicks(jnp.asarray(pred), jnp.asarray(gt),
+                               jnp.asarray(points), jax.random.key(0))
+    pts = np.asarray(pts)
+    assert bool(info.has_click[0]) and bool(info.is_positive[0])
+    y, x, order = pts[0, 0]
+    assert order == 1.0                       # first click
+    # the click must lie in the dist > max/2 inner region of the square
+    assert 14 <= y <= 25 and 14 <= x <= 25
+    # ed mask update writes the FN mask into slot 0
+    ed = jnp.zeros((1, h, w, 2 * n), bool)
+    ed2 = np.asarray(PS.update_ed_mask(ed, info))
+    np.testing.assert_array_equal(ed2[0, :, :, 0], gt[0] > 0.5)
+    assert not ed2[0, :, :, 1].any()
+
+
+def test_next_clicks_negative_goes_to_second_half():
+    h, w, n = 40, 40, 4
+    gt = np.zeros((1, h, w), np.float32)
+    pred = np.zeros((1, h, w), np.float32)
+    pred[0, 5:25, 5:25] = 1.0                 # false positive block
+    points = np.full((1, 2 * n, 3), -1.0, np.float32)
+    points[0, 0] = (7, 7, 0)                  # existing pos click, order 0
+
+    pts, info = PS.next_clicks(jnp.asarray(pred), jnp.asarray(gt),
+                               jnp.asarray(points), jax.random.key(1))
+    pts = np.asarray(pts)
+    assert not bool(info.is_positive[0])
+    assert int(info.slot[0]) == n             # first negative slot
+    assert pts[0, n, 2] == 1.0                # order = prev max (0) + 1
+
+
+def test_next_clicks_no_error_leaves_points():
+    gt = np.ones((1, 16, 16), np.float32)
+    pred = np.ones((1, 16, 16), np.float32)   # perfect -> no fn/fp
+    points = np.full((1, 4, 3), -1.0, np.float32)
+    pts, info = PS.next_clicks(jnp.asarray(pred), jnp.asarray(gt),
+                               jnp.asarray(points), jax.random.key(2))
+    assert not bool(info.has_click[0])
+    np.testing.assert_array_equal(np.asarray(pts), points)
+
+
+# ---------------------------------------------------------------------- boxes
+
+def test_synth_boxes_allmask_no_jitter_is_gt_bbox():
+    h, w, n = 40, 48, 4
+    gt = np.zeros((1, h, w), np.float32)
+    gt[0, 8:24, 10:30] = 1.0                  # y0=8,y1=23,x0=10,x1=29
+    fn = np.zeros((1, h, w), bool)
+    fp = np.zeros((1, h, w), bool)
+    points = np.full((1, 2 * n, 3), -1.0, np.float32)
+    boxes = np.asarray(PS.synth_boxes(jnp.asarray(gt), jnp.asarray(fn),
+                                      jnp.asarray(fp), jnp.asarray(points),
+                                      jax.random.key(0), as_allmask=True,
+                                      jitter=False))
+    xc, yc, bw, bh, loc = boxes[0]
+    assert (xc, yc, bw, bh) == ((10 + 29) // 2, (8 + 23) // 2, 19, 15)
+    assert loc == 0
+
+
+def test_synth_boxes_error_mask_largest_region():
+    h, w, n = 40, 48, 4
+    gt = np.zeros((1, h, w), np.float32)
+    gt[0, 4:30, 4:40] = 1.0
+    pred = np.zeros((1, h, w), np.float32)    # fn == gt (one big region)
+    fn = gt.astype(bool)
+    fp = np.zeros((1, h, w), bool)
+    points = np.full((1, 2 * n, 3), -1.0, np.float32)
+    boxes = np.asarray(PS.synth_boxes(jnp.asarray(gt), jnp.asarray(fn),
+                                      jnp.asarray(fp), jnp.asarray(points),
+                                      jax.random.key(0), as_allmask=False,
+                                      jitter=False))
+    xc, yc, bw, bh, loc = boxes[0]
+    assert (xc, yc, bw, bh) == ((4 + 39) // 2, (4 + 29) // 2, 35, 25)
+    assert loc == n - 1                       # positive branch hardcodes n-1
+
+
+def test_synth_boxes_jitter_within_bounds():
+    h, w, n = 64, 64, 4
+    gt = np.zeros((1, h, w), np.float32)
+    gt[0, 20:40, 20:40] = 1.0
+    points = np.full((1, 2 * n, 3), -1.0, np.float32)
+    for seed in range(4):
+        boxes = np.asarray(PS.synth_boxes(
+            jnp.asarray(gt), jnp.asarray(gt.astype(bool)),
+            jnp.asarray(np.zeros((1, h, w), bool)), jnp.asarray(points),
+            jax.random.key(seed), as_allmask=False, jitter=True))
+        xc, yc, bw, bh, _ = boxes[0]
+        assert bw >= 10 and bh >= 10
+        assert 0 <= xc - bw // 2 and xc + bw // 2 <= w
+        assert 0 <= yc - bh // 2 and yc + bh // 2 <= h
+
+
+# ------------------------------------------------------------------ optimizer
+
+def test_multistep_lr():
+    sched = OPT.multistep_lr(1.0, [2, 4], 0.1, steps_per_epoch=10)
+    assert float(sched(0)) == 1.0
+    assert float(sched(19)) == 1.0
+    np.testing.assert_allclose(float(sched(20)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(39)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(40)), 0.01, rtol=1e-6)
+
+
+def test_layerwise_scales_match_beit():
+    params = {
+        "backbone": {
+            "pos_embed": np.zeros((1, 5, 8)),
+            "patch_embed": {"w": np.zeros((8, 8))},
+            "blocks": [{"attn": {"w": np.zeros((8, 8))}} for _ in range(4)],
+        },
+        "neck": {"w": np.zeros((8, 8))},
+        "patch_embed_coords": {"w": np.zeros((8, 8))},
+    }
+    depth = 4
+    scales = OPT.layerwise_scales(params, depth, 0.75)
+    num_layers = depth + 1
+    assert np.isclose(scales["backbone"]["pos_embed"], 0.75 ** num_layers)
+    assert np.isclose(scales["backbone"]["blocks"][0]["attn"]["w"],
+                      0.75 ** (num_layers - 1))
+    assert np.isclose(scales["backbone"]["blocks"][3]["attn"]["w"],
+                      0.75 ** (num_layers - 4))
+    assert scales["neck"]["w"] == 1.0
+    assert scales["patch_embed_coords"]["w"] == 1.0
+
+
+# ----------------------------------------------------------------- train step
+
+def tiny_batch(seed, b=4, hw=64, n=6, s=50):
+    r = rng(seed)
+    gt = np.zeros((b, hw, hw, 1), np.float32)
+    for i in range(b):
+        y, x = r.integers(8, 40, 2)
+        gt[i, y:y + 16, x:x + 16, 0] = 1.0
+    points = np.full((b, 2 * n, 3), -1.0, np.float32)
+    for i in range(b):
+        ys, xs = np.nonzero(gt[i, :, :, 0])
+        j = r.integers(len(ys))
+        points[i, 0] = (ys[j], xs[j], 0)
+    return {
+        "image": r.uniform(size=(b, hw, hw, 3)).astype(np.float32),
+        "instances": gt,
+        "points": points,
+        "scribbles": np.zeros((b, s, 2), np.float32),
+        "scribble_rects": np.zeros((b, 4), np.float32),
+    }
+
+
+@pytest.mark.slow
+def test_train_step_learns_on_mesh():
+    from pvpuformer_tpu.models.vpu import init_vpu
+
+    mesh = make_mesh(8)
+    mcfg = tiny_cfg()
+    cfg = TrainConfig(model=mcfg, remat=True)
+    params = init_vpu(jax.random.key(0), mcfg)
+    tx = OPT.make_optimizer(params, "adam", lr=1e-3)
+    opt_state = tx.init(params)
+    thr = jnp.asarray([0.4, 0.375, 0.425])
+
+    losses = []
+    with mesh:
+        params = shard_params(params, mesh)
+        for step in range(6):
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in tiny_batch(step, b=8).items()},
+                mesh)
+            params, opt_state, logs, ious, valid = train_step(
+                params, opt_state, batch, jax.random.key(step), thr,
+                cfg=cfg, tx=tx, num_iters=2)
+            losses.append(float(logs["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert ious.shape[0] == 3
+
+
+@pytest.mark.slow
+def test_eval_step_and_num_iters_variants():
+    from pvpuformer_tpu.models.vpu import init_vpu
+
+    mcfg = tiny_cfg()
+    cfg = TrainConfig(model=mcfg, remat=False)
+    params = init_vpu(jax.random.key(0), mcfg)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(0, b=2).items()}
+    thr = jnp.asarray([0.4, 0.375, 0.425])
+    logs, ious, valid = eval_step(params, batch, jax.random.key(0), thr,
+                                  cfg=cfg, num_iters=1)
+    assert np.isfinite(float(logs["loss"]))
+    assert "instance_loss_0_1" in logs
+    assert "instance_aux3_loss_0_1" in logs
