@@ -1,0 +1,75 @@
+"""Batch loader: multi-worker prefetch + per-host sharding.
+
+Replaces torch DataLoader + DistributedSampler (`trainer.py:138-147`,
+`isegm/utils/distributed.py:50-57`): each JAX process loads its own shard of
+every global batch (global index space is strided by process_index), records
+are assembled by a thread pool and prefetched ahead of the device step.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _collate(records) -> Dict[str, np.ndarray]:
+    return {k: np.stack([r[k] for r in records]) for k in records[0]}
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, num_workers: int = 4, prefetch: int = 2,
+                 drop_last: bool = True, process_index: int = 0,
+                 process_count: int = 1):
+        assert batch_size % process_count == 0
+        self.dataset = dataset
+        self.global_batch = batch_size
+        self.local_batch = batch_size // process_count
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.pidx = process_index
+        self.pcount = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.global_batch if self.drop_last \
+            else -(-n // self.global_batch)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+        nb = len(self)
+
+        def make_batch(bi: int):
+            lo = bi * self.global_batch
+            idxs = order[lo:lo + self.global_batch]
+            local = idxs[self.pidx::self.pcount][:self.local_batch]
+            return _collate([self.dataset[int(i)] for i in local])
+
+        if self.num_workers <= 1:
+            for bi in range(nb):
+                yield make_batch(bi)
+            return
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = [pool.submit(make_batch, bi)
+                       for bi in range(min(self.prefetch, nb))]
+            nxt = len(pending)
+            for _ in range(nb):
+                fut = pending.pop(0)
+                if nxt < nb:
+                    pending.append(pool.submit(make_batch, nxt))
+                    nxt += 1
+                yield fut.result()

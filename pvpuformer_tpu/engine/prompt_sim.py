@@ -34,7 +34,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.edt import squared_edt
+from ..ops.edt import squared_edt, squared_edt_pair
 
 
 # ---------------------------------------------------------------------------
@@ -122,8 +122,7 @@ def _next_click_one(pred: jnp.ndarray, gt: jnp.ndarray, orders: jnp.ndarray,
     fn = gtm & (pred < pred_thresh)
     fp = (~gtm) & (pred > pred_thresh)
 
-    d_fn = squared_edt(fn)
-    d_fp = squared_edt(fp)
+    d_fn, d_fp = squared_edt_pair(fn, fp)
     fn_max = jnp.max(d_fn)
     fp_max = jnp.max(d_fp)
     is_positive = fn_max > fp_max

@@ -1,0 +1,201 @@
+"""Training driver: epoch loop, metrics, checkpoint schedule, logging.
+
+Re-derivation of ISTrainer's outer machinery (`isegm/engine/trainer.py:25-298`)
+around the fused train step (engine/train_step.py):
+  * per batch, the host draws num_iters = randint(1, max_num_next_clicks)
+    (trainer.py:339) and dispatches the matching pre-compiled step variant;
+  * AdaptiveIoU updated from the step's on-device IoU triplet;
+  * checkpoints follow the piecewise interval schedule
+    [(start_epoch, every), ...] (trainer.py:257-264), writing
+    `last_checkpoint.npz` + numbered epoch files, self-describing
+    (utils/serialization.py);
+  * scalar logging to the console logger and optionally TensorBoard
+    (torch.utils.tensorboard when available, matching SummaryWriterAvg usage
+    at trainer.py:209-244).
+
+Distributed: under a Mesh the loader shards per process and batches are
+placed with `shard_batch`; gradient reduction is XLA's (no DDP plumbing).
+"""
+from __future__ import annotations
+
+import logging
+import random
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..parallel import make_mesh, shard_batch, shard_params
+from ..utils.serialization import save_checkpoint, load_checkpoint
+from .metrics import AdaptiveIoU
+from .train_step import TrainConfig, train_step, eval_step
+
+logger = logging.getLogger("pvpuformer_tpu")
+
+
+def _interval_for_epoch(schedule, epoch: int) -> int:
+    """checkpoint_interval as int or [(start, every), ...] (trainer.py:257)."""
+    if isinstance(schedule, int):
+        return schedule
+    every = schedule[0][1]
+    for start, e in schedule:
+        if epoch >= start:
+            every = e
+    return every
+
+
+class Trainer:
+    def __init__(self, params, cfg: TrainConfig, tx, train_loader,
+                 val_loader=None, *,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_interval=10,
+                 metrics: Optional[Sequence[AdaptiveIoU]] = None,
+                 mesh=None, param_mode: str = "replicated",
+                 tb_dir: Optional[str] = None,
+                 log_every: int = 25, seed: int = 0):
+        self.cfg = cfg
+        self.tx = tx
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        self.checkpoint_interval = checkpoint_interval
+        self.metrics = list(metrics) if metrics is not None else [AdaptiveIoU()]
+        self.val_metrics = [AdaptiveIoU() for _ in self.metrics]
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.log_every = log_every
+        self.seed = seed
+        self.global_step = 0
+        self.epoch = 0
+
+        with self.mesh:
+            self.params = shard_params(params, self.mesh, param_mode)
+            self.opt_state = tx.init(self.params)
+
+        self._tb = None
+        if tb_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(tb_dir)
+            except ImportError:
+                logger.warning("tensorboard unavailable; console logging only")
+
+    # ------------------------------------------------------------------ utils
+
+    def _log_scalar(self, tag: str, value: float) -> None:
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, self.global_step)
+
+    def _place(self, batch: Dict[str, np.ndarray]):
+        return shard_batch({k: jnp.asarray(v) for k, v in batch.items()},
+                           self.mesh)
+
+    # ------------------------------------------------------------------- train
+
+    def training(self, epoch: int) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        rng = random.Random((self.seed, epoch))
+        for m in self.metrics:
+            m.reset_epoch_stats()
+        sums: Dict[str, float] = {}
+        count = 0
+        t0 = time.time()
+
+        with self.mesh:
+            for i, batch in enumerate(self.train_loader):
+                num_iters = rng.randint(1, self.cfg.max_num_next_clicks)
+                key = jax.random.key((self.seed << 20) ^ self.global_step)
+                thr = jnp.asarray(self.metrics[0].thresholds())
+                self.params, self.opt_state, logs, ious, valid = train_step(
+                    self.params, self.opt_state, self._place(batch), key, thr,
+                    cfg=self.cfg, tx=self.tx, num_iters=num_iters)
+                self.global_step += 1
+
+                logs = {k: float(v) for k, v in logs.items()}
+                self.metrics[0].update_from_ious(np.asarray(ious),
+                                                 np.asarray(valid))
+                for k, v in logs.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                count += 1
+                if (i + 1) % self.log_every == 0:
+                    logger.info("epoch %d step %d loss %.4f (%.2f s/it)",
+                                epoch, i + 1, logs["loss"],
+                                (time.time() - t0) / (i + 1))
+                self._log_scalar("Losses/loss", logs["loss"])
+
+        means = {k: v / max(count, 1) for k, v in sums.items()}
+        means["AdaptiveIoU"] = self.metrics[0].get_epoch_value()
+        logger.info("epoch %d done: loss %.4f iou %.4f", epoch,
+                    means.get("loss", float("nan")), means["AdaptiveIoU"])
+        return means
+
+    def validation(self, epoch: int) -> Dict[str, float]:
+        assert self.val_loader is not None
+        for m in self.val_metrics:
+            m.reset_epoch_stats()
+        rng = random.Random((self.seed, epoch, "val"))
+        sums: Dict[str, float] = {}
+        count = 0
+        with self.mesh:
+            for batch in self.val_loader:
+                num_iters = rng.randint(1, self.cfg.max_num_next_clicks)
+                key = jax.random.key(epoch * 131071 + count)
+                thr = jnp.asarray(self.val_metrics[0].thresholds())
+                logs, ious, valid = eval_step(
+                    self.params, self._place(batch), key, thr,
+                    cfg=self.cfg, num_iters=num_iters)
+                self.val_metrics[0].update_from_ious(np.asarray(ious),
+                                                     np.asarray(valid))
+                for k, v in logs.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                count += 1
+        means = {k: v / max(count, 1) for k, v in sums.items()}
+        means["AdaptiveIoU"] = self.val_metrics[0].get_epoch_value()
+        logger.info("val epoch %d: loss %.4f iou %.4f", epoch,
+                    means.get("loss", float("nan")), means["AdaptiveIoU"])
+        return means
+
+    # --------------------------------------------------------------- chkpoints
+
+    def save(self, epoch: int, name: Optional[str] = None) -> None:
+        if self.checkpoint_dir is None or jax.process_index() != 0:
+            return
+        path = self.checkpoint_dir / (name or f"{epoch:03d}.npz")
+        save_checkpoint(path, jax.device_get(self.params),
+                        config=self.cfg, opt_state=jax.device_get(self.opt_state),
+                        step=self.global_step, extra={"epoch": epoch})
+        save_checkpoint(self.checkpoint_dir / "last_checkpoint.npz",
+                        jax.device_get(self.params), config=self.cfg,
+                        opt_state=jax.device_get(self.opt_state),
+                        step=self.global_step, extra={"epoch": epoch})
+        logger.info("saved checkpoint %s", path)
+
+    def resume(self, path) -> int:
+        params, cfg, step, extra = load_checkpoint(path,
+                                                   opt_state_like=self.opt_state)
+        with self.mesh:
+            self.params = shard_params(params, self.mesh)
+            if "opt_state" in extra:
+                self.opt_state = extra["opt_state"]
+        self.global_step = step
+        self.epoch = int(extra.get("epoch", -1)) + 1
+        logger.info("resumed from %s at epoch %d step %d", path, self.epoch,
+                    step)
+        return self.epoch
+
+    # --------------------------------------------------------------------- run
+
+    def run(self, num_epochs: int, start_epoch: Optional[int] = None,
+            validation: bool = False) -> None:
+        start = self.epoch if start_epoch is None else start_epoch
+        for epoch in range(start, num_epochs):
+            self.epoch = epoch
+            self.training(epoch)
+            if validation and self.val_loader is not None:
+                self.validation(epoch)
+            if (epoch + 1) % _interval_for_epoch(self.checkpoint_interval,
+                                                 epoch) == 0 \
+                    or epoch == num_epochs - 1:
+                self.save(epoch)

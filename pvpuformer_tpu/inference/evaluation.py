@@ -38,15 +38,26 @@ def evaluate_sample(image: np.ndarray, gt_mask: np.ndarray,
                     sample_id=None) -> Tuple[np.ndarray, np.ndarray]:
     """One object's interactive session (vpu_evaluation.py:35-98).
 
-    Returns (ious (K,), final probs (H, W))."""
+    Returns (ious (K,), final probs (H, W)).
+
+    Without a callback the whole session runs as ONE device dispatch
+    (predictor.run_clicks); the curve is then truncated at the first
+    threshold crossing, which reproduces the reference's early-stop loop
+    exactly (the crossing click and every earlier click are identical —
+    later clicks are never inspected by any metric)."""
     predictor.set_input(image, gt_mask)
+    if callback is None:
+        curve = predictor.run_clicks(max_clicks).astype(np.float32)
+        over = np.nonzero(curve[min_clicks - 1:] >= max_iou_thr)[0]
+        k = (over[0] + min_clicks) if len(over) else max_clicks
+        return curve[:k], predictor.probs
+
     ious = []
     for click_indx in range(max_clicks):
         iou = predictor.next_click()
         ious.append(iou)
-        if callback is not None:
-            callback(image, gt_mask, predictor.probs, iou, sample_id,
-                     click_indx, predictor.clicks)
+        callback(image, gt_mask, predictor.probs, iou, sample_id,
+                 click_indx, predictor.clicks)
         if iou >= max_iou_thr and click_indx + 1 >= min_clicks:
             break
     return np.array(ious, np.float32), predictor.probs

@@ -275,6 +275,26 @@ def click_step(params, cfg: PredictorConfig, state: SessionState):
     return st, iou
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "num_clicks"))
+def click_scan(params, cfg: PredictorConfig, state: SessionState,
+               num_clicks: int):
+    """`num_clicks` full interactive rounds in ONE dispatch via lax.scan.
+
+    The oracle click loop needs no host round trip at all (the reference
+    *must* return to the host for cv2 every click — SURVEY §3.2); scanning
+    the rounds amortizes dispatch+readback over the whole session. Returns
+    (final state, ious (num_clicks,)). NoC/failure metrics from the full
+    curve match the reference's early-stop protocol exactly — IoU values
+    after the first threshold crossing are simply never inspected (the
+    crossing click is identical; see evaluation.evaluate_sample).
+    """
+    def body(st, _):
+        st, iou = click_step(params, cfg, st)
+        return st, iou
+
+    return jax.lax.scan(body, state, None, length=num_clicks)
+
+
 # ---------------------------------------------------------------------------
 # host-side driver
 # ---------------------------------------------------------------------------
@@ -307,6 +327,13 @@ class Predictor:
         self._undo.append(self.state)
         self.state, iou = click_step(self.params, self.cfg, self.state)
         return float(iou)
+
+    def run_clicks(self, num_clicks: int) -> np.ndarray:
+        """Run `num_clicks` rounds in one dispatch; returns the IoU curve."""
+        self._undo.append(self.state)
+        self.state, ious = click_scan(self.params, self.cfg, self.state,
+                                      num_clicks)
+        return np.asarray(ious)
 
     def undo_click(self) -> None:
         if self._undo:

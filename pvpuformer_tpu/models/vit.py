@@ -38,6 +38,7 @@ class ViTConfig:
     qkv_bias: bool = True
     ln_eps: float = 1e-6
     window_pixels: int = 224        # pretraining resolution for window split
+    attn_impl: str = "xla"          # "xla" (nn.sdpa) | "flash" (Pallas kernel)
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -77,12 +78,17 @@ def init_block(key, dim: int, num_heads: int, mlp_ratio: float,
     }
 
 
-def block_forward(p, x: jnp.ndarray, num_heads: int, eps: float) -> jnp.ndarray:
+def block_forward(p, x: jnp.ndarray, num_heads: int, eps: float,
+                  attn_impl: str = "xla") -> jnp.ndarray:
     b, n, d = x.shape
     h = nn.layer_norm(p["norm1"], x, eps)
     qkv = nn.linear(p["attn"]["qkv"], h).reshape(b, n, 3, num_heads, d // num_heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    attn = nn.sdpa(q, k, v).reshape(b, n, d)
+    if attn_impl == "flash":
+        from ..ops.attention import flash_attention
+        attn = flash_attention(q, k, v).reshape(b, n, d)
+    else:
+        attn = nn.sdpa(q, k, v).reshape(b, n, d)
     x = x + nn.linear(p["attn"]["proj"], attn)
     x = x + nn.mlp(p["mlp"], nn.layer_norm(p["norm2"], x, eps))
     return x
@@ -162,7 +168,8 @@ def vit_backbone_forward(params, cfg: ViTConfig, x_patches: jnp.ndarray,
             ids = jnp.argsort(noise, axis=1)
             inv = jnp.argsort(ids, axis=1)
             xs = jnp.take_along_axis(x, ids[:, :, None], axis=1)
-            xs = block_forward(params["blocks"][i], xs, cfg.num_heads, cfg.ln_eps)
+            xs = block_forward(params["blocks"][i], xs, cfg.num_heads, cfg.ln_eps,
+                               cfg.attn_impl)
             x = jnp.take_along_axis(xs, inv[:, :, None], axis=1)
         return x
 
@@ -177,7 +184,8 @@ def vit_backbone_forward(params, cfg: ViTConfig, x_patches: jnp.ndarray,
             if is_patchified:
                 x = _unpatchify(x, cfg)
                 is_patchified = False
-        x = block_forward(params["blocks"][i - 1], x, cfg.num_heads, cfg.ln_eps)
+        x = block_forward(params["blocks"][i - 1], x, cfg.num_heads, cfg.ln_eps,
+                          cfg.attn_impl)
     if is_patchified:
         x = _unpatchify(x, cfg)
     return x

@@ -76,6 +76,13 @@ def squared_edt(mask: jnp.ndarray, chunk: int = 32) -> jnp.ndarray:
     return jnp.where(mask, out, 0.0)
 
 
+def squared_edt_pair(fn_mask: jnp.ndarray, fp_mask: jnp.ndarray):
+    """Both error-mask EDTs in one fused computation (the two transforms are
+    independent — batching them halves the kernel's wall time vs two calls)."""
+    d = jax.vmap(squared_edt)(jnp.stack([fn_mask, fp_mask]))
+    return d[0], d[1]
+
+
 def next_click_from_error(fn_mask: jnp.ndarray, fp_mask: jnp.ndarray,
                           not_clicked: jnp.ndarray):
     """Oracle next-click: center of the larger of the FN / FP error regions.
@@ -83,8 +90,9 @@ def next_click_from_error(fn_mask: jnp.ndarray, fp_mask: jnp.ndarray,
     Reproduces Clicker._get_next_click (clicker.py:29-56):
     returns (is_positive, y, x, max_sqdist).
     """
-    d_fn = squared_edt(fn_mask) * not_clicked
-    d_fp = squared_edt(fp_mask) * not_clicked
+    d_fn, d_fp = squared_edt_pair(fn_mask, fp_mask)
+    d_fn = d_fn * not_clicked
+    d_fp = d_fp * not_clicked
     fn_max = jnp.max(d_fn)
     fp_max = jnp.max(d_fp)
     is_positive = fn_max > fp_max
@@ -101,8 +109,7 @@ def sample_click_from_error(fn_mask: jnp.ndarray, fp_mask: jnp.ndarray,
     """Training-time next-click: uniform sample from the region where the
     distance exceeds half the max (trainer.py:627-639). Returns
     (has_click, is_positive, y, x)."""
-    d_fn = squared_edt(fn_mask)
-    d_fp = squared_edt(fp_mask)
+    d_fn, d_fp = squared_edt_pair(fn_mask, fp_mask)
     fn_max = jnp.max(d_fn)
     fp_max = jnp.max(d_fp)
     is_positive = fn_max > fp_max

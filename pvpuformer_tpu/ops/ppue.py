@@ -196,7 +196,8 @@ def ppue_box(points: jnp.ndarray, boxes: jnp.ndarray,
 
 def _scribble_vec(cfg: PPuEConfig, scribble: jnp.ndarray,
                   rect: jnp.ndarray) -> jnp.ndarray:
-    """One scribble (S, 2) samples of (col, row) + rect (y_c, x_c, h, w).
+    """One scribble (S, 2) samples of (col, row) + rect
+    (col_center, row_center, col_extent, row_extent).
 
     Profiles encode, per axis bucket, exp(-(d_edge)^2 / (2 sigma^2)) where
     d_edge is the curve's distance from the box's min edge on the other axis
@@ -205,7 +206,9 @@ def _scribble_vec(cfg: PPuEConfig, scribble: jnp.ndarray,
     prompt types from {click, box} only — so we define the clean spec here
     and document it; see SURVEY.md §2.3).
     """
-    yc, xc, bh, bw = rect[0], rect[1], rect[2], rect[3]
+    # rect layout from cal_scribble (trainer.py:1209): (x_c, y_c, w, h) with
+    # x = columns — i.e. (col_center, row_center, col_extent, row_extent)
+    xc, yc, bw, bh = rect[0], rect[1], rect[2], rect[3]
     nonnull = (jnp.sum(scribble) + jnp.sum(rect)) != 0
     row_top = yc - bh // 2
     col_left = xc - bw // 2

@@ -1,0 +1,166 @@
+"""Data layer tests: augmentations, point sampler contract, scribble
+synthesis, loader sharding, end-to-end record shapes."""
+import numpy as np
+import pytest
+
+from pvpuformer_tpu.data import (MultiPointSampler, SyntheticTrainDataset,
+                                 Loader, transforms as T)
+from pvpuformer_tpu.data.scribbles import (bezier_multi, cal_scribble_single,
+                                           batch_scribbles)
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# --------------------------------------------------------------- transforms
+
+def test_pad_and_crop_shapes():
+    r = rng(0)
+    img = r.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    masks = (r.uniform(size=(2, 40, 60)) > 0.7).astype(np.int32)
+    aug = T.Compose([T.PadIfNeeded(64, 64), T.RandomCrop(64, 64)])
+    out_img, out_masks = aug(r, img, masks)
+    assert out_img.shape == (64, 64, 3)
+    assert out_masks.shape == (2, 64, 64)
+
+
+def test_hflip_consistent():
+    r = rng(1)
+    img = r.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    masks = np.zeros((1, 8, 8), np.int32)
+    masks[0, 2, 1] = 1
+    out_img, out_masks = T.HorizontalFlip(p=1.0)(r, img, masks)
+    assert out_masks[0, 2, 6] == 1
+    np.testing.assert_array_equal(out_img, img[:, ::-1])
+
+
+def test_resize_preserves_mask_ids():
+    r = rng(2)
+    img = r.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    masks = np.zeros((1, 32, 32), np.int32)
+    masks[0, 8:24, 8:24] = 3
+    _, out_masks = T.UniformRandomResize((1.3, 1.3))(r, img, masks)
+    assert set(np.unique(out_masks)) <= {0, 3}
+    assert out_masks.shape[1] == round(32 * 1.3)
+
+
+def test_brightness_contrast_formula():
+    img = np.full((4, 4, 3), 100, np.uint8)
+
+    class FixedRng:
+        def uniform(self, a=0.0, b=1.0):
+            if (a, b) == (0.0, 1.0):
+                return 0.0                  # always apply
+            return b                        # max of the limit range
+    out, _ = T.RandomBrightnessContrast((-0.25, 0.25), (-0.15, 0.4), p=1.0)(
+        FixedRng(), img, np.zeros((1, 4, 4), np.int32))
+    np.testing.assert_array_equal(out, np.clip(100 * 1.4 + 0.25 * 255, 0, 255)
+                                  .astype(np.uint8))
+
+
+# ------------------------------------------------------------ point sampler
+
+def test_point_sampler_contract():
+    n = 6
+    sampler = MultiPointSampler(n, prob_gamma=0.8, merge_objects_prob=0.15,
+                                max_num_merged_objects=2)
+    yy, xx = np.mgrid[:64, :64]
+    m1 = ((yy - 20) ** 2 + (xx - 20) ** 2 < 100).astype(np.int32)
+    m2 = ((yy - 45) ** 2 + (xx - 45) ** 2 < 64).astype(np.int32)
+    for seed in range(20):
+        pts, target = sampler.sample(rng(seed), [m1, m2])
+        assert pts.shape == (2 * n, 3)
+        assert target.shape == (64, 64)
+        assert target.sum() > 0
+        # at least one positive click, inside the target
+        assert pts[0, 2] >= 0
+        for i in range(n):
+            y, x, o = pts[i]
+            if o >= 0:
+                assert target[int(y), int(x)] == 1
+        # negatives outside the target
+        for i in range(n, 2 * n):
+            y, x, o = pts[i]
+            if o >= 0:
+                assert target[int(y), int(x)] == 0
+
+
+def test_point_sampler_merge_objects():
+    sampler = MultiPointSampler(4, prob_gamma=0.8, merge_objects_prob=1.0,
+                                max_num_merged_objects=2)
+    m1 = np.zeros((32, 32), np.int32)
+    m1[:8, :8] = 1
+    m2 = np.zeros((32, 32), np.int32)
+    m2[20:, 20:] = 1
+    _, target = sampler.sample(rng(0), [m1, m2])
+    assert target.sum() == m1.sum() + m2.sum()
+
+
+# ------------------------------------------------------------------ scribbles
+
+def test_bezier_multi_endpoints_and_linearity():
+    ctrl = np.array([[0.0, 0.0], [10.0, 10.0]])
+    out = bezier_multi(ctrl, 11)
+    np.testing.assert_allclose(out[0], [0, 0], atol=1e-9)
+    np.testing.assert_allclose(out[-1], [10, 10], atol=1e-9)
+    np.testing.assert_allclose(out[5], [5, 5], atol=1e-9)
+
+
+def test_scribble_inside_bbox():
+    gt = np.zeros((64, 64), np.float32)
+    gt[10:40, 15:50] = 1.0
+    for seed in range(5):
+        scr, rect = cal_scribble_single(rng(seed), gt)
+        assert scr.shape == (1000, 2)
+        # (x, y) = (col, row); clipped to the mask bbox
+        assert scr[:, 1].min() >= 10 and scr[:, 1].max() <= 39
+        assert scr[:, 0].min() >= 15 and scr[:, 0].max() <= 49
+        # rect = (col_c, row_c, col_extent, row_extent)
+        assert rect[2] == 49 - 15 and rect[3] == 39 - 10
+        assert rect[0] == (15 + 49) // 2 and rect[1] == (10 + 39) // 2
+
+
+def test_scribble_empty_mask():
+    scr, rect = cal_scribble_single(rng(0), np.zeros((32, 32), np.float32))
+    assert not scr.any() and not rect.any()
+
+
+def test_batch_scribbles_shapes():
+    gt = np.zeros((3, 48, 48), np.float32)
+    gt[:, 10:30, 10:30] = 1.0
+    scr, rects = batch_scribbles(rng(0), gt, num_samples=200)
+    assert scr.shape == (3, 200, 2) and rects.shape == (3, 4)
+
+
+# ------------------------------------------------------------------- dataset
+
+def test_synthetic_dataset_records():
+    ds = SyntheticTrainDataset(n_samples=4, hw=(64, 64),
+                               augmentator=T.train_augmentator((64, 64)),
+                               epoch_len=8)
+    assert len(ds) == 8
+    rec = ds[0]
+    assert rec["image"].shape == (64, 64, 3)
+    assert rec["image"].dtype == np.float32 and rec["image"].max() <= 1.0
+    assert rec["instances"].shape == (64, 64, 1)
+    assert rec["points"].shape == (12, 3)
+    assert rec["scribbles"].shape == (1000, 2)
+    assert rec["scribble_rects"].shape == (4,)
+    # determinism per (seed, index)
+    rec2 = ds[0]
+    np.testing.assert_array_equal(rec["points"], rec2["points"])
+
+
+def test_loader_sharding_covers_batch():
+    ds = SyntheticTrainDataset(n_samples=16, hw=(48, 48), epoch_len=16)
+    l0 = Loader(ds, batch_size=8, shuffle=True, seed=3, num_workers=2,
+                process_index=0, process_count=2)
+    l1 = Loader(ds, batch_size=8, shuffle=True, seed=3, num_workers=2,
+                process_index=1, process_count=2)
+    b0 = next(iter(l0))
+    b1 = next(iter(l1))
+    assert b0["image"].shape[0] == 4 and b1["image"].shape[0] == 4
+    # different shards
+    assert not np.allclose(b0["image"], b1["image"])
+    assert len(l0) == 2
