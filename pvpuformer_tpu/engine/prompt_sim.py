@@ -249,6 +249,88 @@ def synth_boxes(gt: jnp.ndarray, fn: jnp.ndarray, fp: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# scribble synthesis on device (cal_scribble, trainer.py:1192-1243)
+# ---------------------------------------------------------------------------
+
+def _synth_scribble_one(gt: jnp.ndarray, key: jax.Array, num_ctrl: int,
+                        num_samples: int, bernstein: jnp.ndarray):
+    """One on-device scribble draw from a gt mask.
+
+    Matches cal_scribble's spec — control points sampled row-wise inside the
+    largest connected region, a Bezier through them, samples clipped to the
+    region bbox, output (col, row) + rect (col_c, row_c, col_ext, row_ext).
+    Fixed-shape deviations (documented; the reference path is host numpy with
+    data-dependent sizes): always `num_ctrl` control rows (reference draws
+    randint(3,10)), rows with no mask pixels reuse the previous valid point
+    (reference skips them), and the curve is always a Bezier (the reference
+    coin-flips to a B-spline, trainer.py:1227)."""
+    mask = connected_regions_mask(gt > 0.5)
+    nonempty = jnp.any(mask)
+    y0, y1, x0, x1 = _bbox(mask)          # rows y, cols x
+
+    h, w = mask.shape
+    krow, kcol = jax.random.split(key)
+    # control rows spread over the row extent with jitter inside each band
+    extent = (y1 - y0).astype(jnp.float32)
+    band = extent / num_ctrl
+    u = jax.random.uniform(krow, (num_ctrl,))
+    rows = (y0.astype(jnp.float32)
+            + band * (jnp.arange(num_ctrl, dtype=jnp.float32) + u))
+    rows = jnp.clip(rows.astype(jnp.int32), 0, h - 1)
+
+    # per control row: uniform random column among mask pixels of that row
+    row_masks = mask[rows]                                   # (K, W)
+    g = jax.random.gumbel(kcol, row_masks.shape)
+    score = jnp.where(row_masks, g, -jnp.inf)
+    cols = jnp.argmax(score, axis=1).astype(jnp.int32)       # (K,)
+    has = jnp.any(row_masks, axis=1)
+    # empty rows -> carry the previous valid point (prefix propagation)
+    def carry(prev, cur):
+        ok, r, c = cur
+        pr, pc = prev
+        r = jnp.where(ok, r, pr)
+        c = jnp.where(ok, c, pc)
+        return (r, c), (r, c)
+    first_r = jnp.where(has[0], rows[0], (y0 + y1) // 2)
+    first_c = jnp.where(has[0], cols[0], (x0 + x1) // 2)
+    (_, _), (rs, cs) = jax.lax.scan(
+        carry, (first_r, first_c), (has, rows, cols))
+
+    ctrl = jnp.stack([rs, cs], axis=1).astype(jnp.float32)   # (K, 2) (row,col)
+    curve = jnp.dot(bernstein, ctrl,
+                    preferred_element_type=jnp.float32)      # (S, 2)
+    r = jnp.clip(curve[:, 0], y0.astype(jnp.float32), y1.astype(jnp.float32))
+    c = jnp.clip(curve[:, 1], x0.astype(jnp.float32), x1.astype(jnp.float32))
+    scr = jnp.stack([c, r], axis=1)                          # (col, row)
+    rect = jnp.stack([(x0 + x1) // 2, (y0 + y1) // 2,
+                      x1 - x0, y1 - y0]).astype(jnp.float32)
+    okf = nonempty.astype(jnp.float32)
+    return scr * okf, rect * okf
+
+
+def bernstein_matrix(num_ctrl: int, num_samples: int) -> jnp.ndarray:
+    """(num_samples, num_ctrl) Bezier basis (bezier.evaluate_multi equiv)."""
+    from math import comb
+    import numpy as np
+    p = num_ctrl - 1
+    s = np.linspace(0.0, 1.0, num_samples)[:, None]
+    i = np.arange(p + 1)[None, :]
+    coef = np.array([comb(p, j) for j in range(p + 1)], np.float64)
+    return jnp.asarray(coef * (s ** i) * ((1 - s) ** (p - i)), jnp.float32)
+
+
+def synth_scribbles(gt: jnp.ndarray, key: jax.Array, num_ctrl: int = 10,
+                    num_samples: int = 1000):
+    """Batched on-device cal_scribble. gt: (B, H, W).
+    Returns (scribbles (B, S, 2) of (col, row), rects (B, 4))."""
+    b = gt.shape[0]
+    bern = bernstein_matrix(num_ctrl, num_samples)
+    keys = jax.random.split(key, b)
+    return jax.vmap(lambda g, k: _synth_scribble_one(
+        g, k, num_ctrl, num_samples, bern))(gt, keys)
+
+
+# ---------------------------------------------------------------------------
 # combined round update (get_next_promts, trainer.py:703-768)
 # ---------------------------------------------------------------------------
 

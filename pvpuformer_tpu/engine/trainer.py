@@ -96,7 +96,7 @@ class Trainer:
 
     def training(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
-        rng = random.Random((self.seed, epoch))
+        rng = random.Random(f"{self.seed}-{epoch}")
         for m in self.metrics:
             m.reset_epoch_stats()
         sums: Dict[str, float] = {}
@@ -135,7 +135,7 @@ class Trainer:
         assert self.val_loader is not None
         for m in self.val_metrics:
             m.reset_epoch_stats()
-        rng = random.Random((self.seed, epoch, "val"))
+        rng = random.Random(f"{self.seed}-{epoch}-val")
         sums: Dict[str, float] = {}
         count = 0
         with self.mesh:

@@ -1,0 +1,134 @@
+"""Headless interactive session controller — the demo's state machine.
+
+Re-derivation of `interactive_demo/controller.py:10-154` without Tk:
+  * `add_click(x, y, is_positive)` runs one user-click round (snapshotting
+    state for undo, controller.py:48-52);
+  * `undo_click` restores the previous snapshot (controller.py:61-68);
+  * `finish_object` freezes the current object into the uint16 multi-object
+    result mask with a fresh object id (controller.py:74-87);
+  * `set_mask` injects an external init mask (controller.py:89-100);
+  * `result_mask` / `current_object_prob` accessors (controller.py:102-120);
+  * `get_visualization` renders the blended panel (controller.py:122-154).
+
+The device work per click is one dispatch (predictor.user_click_step).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .predictor import (PredictorConfig, SessionState, init_session,
+                        user_click_step)
+
+
+class Click:
+    def __init__(self, is_positive: bool, coords):
+        self.is_positive = is_positive
+        self.coords = tuple(coords)          # (y, x)
+
+
+class InteractiveController:
+    def __init__(self, params, cfg: PredictorConfig,
+                 prob_thresh: float = 0.5):
+        self.params = params
+        self.cfg = cfg
+        self.prob_thresh = prob_thresh
+        self.image: Optional[np.ndarray] = None
+        self.state: Optional[SessionState] = None
+        self._init_mask: Optional[np.ndarray] = None
+        self._result_mask: Optional[np.ndarray] = None
+        self._undo: List = []
+        self.clicks_list: List[Click] = []
+        self.object_count = 0
+        self.probs_history: List[np.ndarray] = []
+
+    # ---------------------------------------------------------------- session
+
+    def set_image(self, image: np.ndarray) -> None:
+        self.image = image
+        self._result_mask = np.zeros(image.shape[:2], np.uint16)
+        self.object_count = 0
+        self.reset_last_object()
+
+    def _canvas(self, h: int, w: int):
+        b = self.cfg.canvas_bucket
+        return (-(-h // b) * b, -(-w // b) * b)
+
+    def reset_last_object(self) -> None:
+        assert self.image is not None
+        h, w = self.image.shape[:2]
+        gt = np.zeros((h, w), np.float32)        # demo has no gt
+        self.state = init_session(self.image, gt,
+                                  self.cfg.model.num_max_points,
+                                  self._canvas(h, w))
+        if self._init_mask is not None:
+            hc, wc = self.state.gt.shape
+            probs = np.zeros((1, hc, wc, 1), np.float32)
+            probs[0, :h, :w, 0] = self._init_mask
+            self.state = self.state._replace(prev_probs=jnp.asarray(probs))
+        self._undo = []
+        self.clicks_list = []
+        self.probs_history = []
+
+    def set_mask(self, mask: np.ndarray) -> None:
+        """External init mask (controller.py:89-100)."""
+        assert self.image is not None and \
+            mask.shape == self.image.shape[:2]
+        self._init_mask = mask.astype(np.float32)
+        self.reset_last_object()
+
+    # ----------------------------------------------------------------- clicks
+
+    def add_click(self, x: float, y: float, is_positive: bool) -> None:
+        self._undo.append((self.state, list(self.clicks_list),
+                           list(self.probs_history)))
+        self.state, _ = user_click_step(
+            self.params, self.cfg, self.state,
+            jnp.asarray(y), jnp.asarray(x), jnp.asarray(is_positive))
+        self.clicks_list.append(Click(is_positive, (y, x)))
+        self.probs_history.append(self.current_object_prob.copy())
+
+    def undo_click(self) -> None:
+        if self._undo:
+            self.state, self.clicks_list, self.probs_history = \
+                self._undo.pop()
+
+    # ---------------------------------------------------------------- results
+
+    @property
+    def current_object_prob(self) -> np.ndarray:
+        h, w = self.image.shape[:2]
+        return np.asarray(self.state.prev_probs[0, :h, :w, 0])
+
+    @property
+    def is_incomplete_mask(self) -> bool:
+        return len(self.clicks_list) > 0
+
+    def finish_object(self) -> None:
+        """controller.py:74-87: freeze current object into the result mask."""
+        if not self.probs_history:
+            return
+        mask = self.current_object_prob > self.prob_thresh
+        self.object_count += 1
+        self._result_mask[mask] = self.object_count
+        self._init_mask = None
+        self.reset_last_object()
+
+    @property
+    def result_mask(self) -> np.ndarray:
+        mask = self._result_mask.copy()
+        if self.probs_history:
+            mask[self.current_object_prob > self.prob_thresh] = \
+                self.object_count + 1
+        return mask
+
+    def get_visualization(self, alpha_blend: float = 0.6,
+                          click_radius: int = 4) -> Optional[np.ndarray]:
+        if self.image is None:
+            return None
+        from ..utils.vis import draw_with_blend_and_clicks
+        return draw_with_blend_and_clicks(
+            self.image, mask=self.result_mask, alpha=alpha_blend,
+            clicks_list=self.clicks_list, radius=click_radius)

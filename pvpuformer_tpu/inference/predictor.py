@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..engine.prompt_sim import synth_boxes, synth_scribbles
 from ..models.vpu import VPUConfig, vpu_forward
 from ..ops.edt import next_click_from_error
 from ..ops.resize import roi_crop_resize, roi_paste_back
@@ -50,6 +51,11 @@ class PredictorConfig:
     cascade_adaptive: bool = False
     cascade_clicks: int = 1
     canvas_bucket: int = 64
+    # eval-time prompt type (vpu_evaluation.py:42-56: shipped protocol is 0 =
+    # clicks; 1/2 add box/scribble prompts synthesized on device from the
+    # ROI-cropped gt/error masks, = get_vqu_prediction's
+    # _get_vqu_prediction_prompts path, base.py:166-177)
+    prompt_mode: int = 0
 
 
 class SessionState(NamedTuple):
@@ -213,7 +219,26 @@ def _forward_round(params, cfg: PredictorConfig, state: SessionState,
 
     pts = _transform_points(points, roi, (th, tw), cfg.with_flip)
 
-    out = vpu_forward(params, cfg.model, crop, pts, prompt_type=0)
+    boxes = scribbles = None
+    if cfg.prompt_mode != 0:
+        # box/scribble prompts from the ROI-cropped gt + error masks
+        # (base.py:166-177: as_allmask=False, jitter_box=False)
+        gtc = roi_crop_resize(state.gt[None, :, :, None], roi_t, th, tw)
+        if cfg.with_flip:
+            gtc = jnp.concatenate([gtc, gtc[:, :, ::-1, :]], axis=0)
+        gtb = gtc[..., 0] > 0.5
+        prevb = crop[..., 3]
+        fn = gtb & (prevb < cfg.prob_thresh)
+        fp = (~gtb) & (prevb > cfg.prob_thresh)
+        key = jax.random.fold_in(jax.random.key(17), state.click_count)
+        boxes = synth_boxes(gtc[..., 0], fn, fp, pts, key,
+                            as_allmask=False, jitter=False).astype(jnp.float32)
+        if cfg.prompt_mode == 2:
+            scr, rects = synth_scribbles(gtc[..., 0], key, num_samples=1000)
+            scribbles = (scr[:, None], rects[:, None])
+
+    out = vpu_forward(params, cfg.model, crop, pts, boxes=boxes,
+                      scribbles=scribbles, prompt_type=cfg.prompt_mode)
     logits = out["instances"]                               # (B, th, tw, 1)
     if cfg.with_flip:
         logits = 0.5 * (logits[:1] + logits[1:, :, ::-1, :])
@@ -272,6 +297,45 @@ def click_step(params, cfg: PredictorConfig, state: SessionState):
     inter = jnp.sum(pm & gt_pos & not_ignore)
     union = jnp.sum((pm | gt_pos) & not_ignore)
     iou = inter.astype(jnp.float32) / jnp.maximum(union.astype(jnp.float32), 1.0)
+    return st, iou
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def user_click_step(params, cfg: PredictorConfig, state: SessionState,
+                    y: jnp.ndarray, x: jnp.ndarray, is_positive: jnp.ndarray):
+    """One interactive round with a USER-provided click instead of the
+    oracle's (the GUI/demo path: controller.py:48-68 — no gt involved in
+    click selection). Returns (new_state, iou) where iou is vs state.gt
+    (zeros gt -> 0)."""
+    n = state.points.shape[1] // 2
+    cy = jnp.asarray(y, jnp.int32)
+    cx = jnp.asarray(x, jnp.int32)
+    is_pos = jnp.asarray(is_positive, bool)
+
+    order = state.click_count.astype(jnp.float32)
+    row = jnp.stack([cy.astype(jnp.float32), cx.astype(jnp.float32), order])
+    slot = jnp.where(is_pos,
+                     jnp.minimum(state.num_pos, n - 1),
+                     n + jnp.minimum(state.num_neg, n - 1))
+    points = state.points.at[0, slot].set(row)
+    st = state._replace(
+        points=points,
+        num_pos=state.num_pos + is_pos.astype(jnp.int32),
+        num_neg=state.num_neg + (~is_pos).astype(jnp.int32),
+        not_clicked=state.not_clicked.at[cy, cx].set(False),
+        click_count=state.click_count + 1)
+
+    probs, roi, has_roi = _forward_round(params, cfg, st, points,
+                                         st.prev_probs)
+    st = st._replace(prev_probs=probs, roi=roi, has_roi=has_roi)
+
+    gt_pos = st.gt == 1
+    not_ignore = st.gt != -1
+    pm = probs[0, :, :, 0] > cfg.prob_thresh
+    inter = jnp.sum(pm & gt_pos & not_ignore)
+    union = jnp.sum((pm | gt_pos) & not_ignore)
+    iou = inter.astype(jnp.float32) / jnp.maximum(union.astype(jnp.float32),
+                                                  1.0)
     return st, iou
 
 

@@ -57,7 +57,13 @@ class VPUConfig:
 
     @property
     def ppue(self) -> PPuEConfig:
-        return PPuEConfig(input_h=self.crop_size[0], input_w=self.crop_size[1])
+        # pinned to the TRAINED crop (neck.img_size), not the eval crop: the
+        # neck FFN input dim is 2*train_crop+3 (is_vpu_model.py:95), so at a
+        # larger eval crop (DAVIS 672, evaluate_vpumodel.py:187-204) the
+        # reference keeps 448-length prompt vectors and its in-image check
+        # drops clicks beyond them (ops.py:84-89) — we mirror that.
+        return PPuEConfig(input_h=self.neck.img_size[0],
+                          input_w=self.neck.img_size[1])
 
     def replace(self, **kw) -> "VPUConfig":
         return dataclasses.replace(self, **kw)

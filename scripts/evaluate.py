@@ -1,0 +1,197 @@
+#!/usr/bin/env python3
+"""NoC evaluation CLI — the reference's `scripts/evaluate_vpumodel.py`.
+
+    python scripts/evaluate.py NoBRS --checkpoint ckpt.npz \
+        --datasets GrabCut,Berkeley,DAVIS,SBD,PascalVOC \
+        [--n-clicks 20] [--target-iou 0.95] [--thresh 0.49] \
+        [--iou-analysis] [--print-ious] [--save-ious] [--vis-preds] \
+        [--prompt-mode 0|1|2]
+
+Protocol constants follow evaluate_vpumodel.py: 20 clicks max, target IoU
+0.95 (1.01 under --iou-analysis), threshold 0.49, flip TTA on, zoom-in target
+448 (672 for DAVIS) with skip_clicks=-1 under cvpr mode
+(evaluate_vpumodel.py:54-58,87-90,132,187-204). Checkpoints are
+self-describing (config embedded); --random-weights builds ViT-B/448 for
+pipeline smoke runs. Positional `mode` keeps the reference CLI shape; BRS
+optimizers beyond NoBRS plug in via inference/brs.py when present.
+"""
+from __future__ import annotations
+
+import argparse
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", nargs="?", default="NoBRS",
+                   help="NoBRS (BRS variants: see inference/brs.py)")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--random-weights", action="store_true",
+                   help="random ViT-B/448 weights (pipeline smoke run)")
+    p.add_argument("--datasets", default="GrabCut,Berkeley,SBD,DAVIS,"
+                                         "PascalVOC,COCO_MVal")
+    p.add_argument("--n-clicks", type=int, default=20)
+    p.add_argument("--target-iou", type=float, default=0.95)
+    p.add_argument("--min-n-clicks", type=int, default=1)
+    p.add_argument("--thresh", type=float, default=0.49)
+    p.add_argument("--iou-analysis", action="store_true")
+    p.add_argument("--print-ious", action="store_true")
+    p.add_argument("--save-ious", action="store_true")
+    p.add_argument("--vis-preds", action="store_true")
+    p.add_argument("--prompt-mode", type=int, default=0, choices=[0, 1, 2],
+                   help="0 clicks (shipped protocol) / 1 +boxes / 2 +scribbles")
+    p.add_argument("--eval-mode", default="cvpr")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--logs-path", default="./experiments/evaluation_logs")
+    p.add_argument("--config-path", default=None,
+                   help="config.yml with dataset paths (default: repo root)")
+    p.add_argument("--limit", type=int, default=0,
+                   help="evaluate only the first N samples (smoke runs)")
+    return p.parse_args()
+
+
+DATASET_ZOOM = {"DAVIS": (672, 672)}           # evaluate_vpumodel.py:187-204
+DATASET_PATH_KEYS = {
+    "GrabCut": "GRABCUT_PATH", "Berkeley": "BERKELEY_PATH",
+    "DAVIS": "DAVIS_PATH", "COCO_MVal": "COCO_MVAL_PATH",
+    "PascalVOC": "PASCALVOC_PATH", "SBD": "SBD_EVAL_PATH",
+}
+
+
+def build_model(args):
+    import jax
+    import jax.numpy as jnp
+    from pvpuformer_tpu.models.vpu import vpu_base_config, init_vpu
+    from pvpuformer_tpu.utils.serialization import load_checkpoint
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.checkpoint:
+        params, cfg, _, _ = load_checkpoint(args.checkpoint)
+        mcfg = cfg.model if hasattr(cfg, "model") else cfg
+        mcfg = mcfg.replace(dtype=dtype)
+        return params, mcfg
+    assert args.random_weights, "--checkpoint or --random-weights required"
+    mcfg = vpu_base_config(dtype=dtype)
+    return init_vpu(jax.random.key(0), mcfg), mcfg
+
+
+def maybe_interp_pos_embed(params, mcfg, crop):
+    """Eval-time pos-embed re-interpolation (pos_embed.py:99-128)."""
+    import dataclasses
+    from pvpuformer_tpu.utils.torch_ingest import interpolate_pos_embed_np
+    if mcfg.backbone.img_size == crop:
+        return params, mcfg
+    src = mcfg.backbone.grid_size
+    bcfg = dataclasses.replace(mcfg.backbone, img_size=crop)
+    pos = np.asarray(params["backbone"]["pos_embed"])
+    params = dict(params)
+    params["backbone"] = dict(params["backbone"])
+    params["backbone"]["pos_embed"] = interpolate_pos_embed_np(
+        pos, src, bcfg.grid_size)
+    return params, mcfg.replace(backbone=bcfg)
+
+
+def main() -> None:
+    args = parse_args()
+    from pvpuformer_tpu.inference.datasets import get_dataset
+    from pvpuformer_tpu.inference.evaluation import (
+        compute_noc_metric, evaluate_dataset, get_results_table,
+        get_time_metrics, mean_iou_per_click)
+    from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
+    from pvpuformer_tpu.utils.exp import load_config_file
+
+    root = Path(__file__).resolve().parent.parent
+    cfg_path = args.config_path or (root / "config.yml")
+    paths = load_config_file(cfg_path) if Path(cfg_path).exists() else {}
+
+    params, mcfg = build_model(args)
+    target_iou = 1.01 if args.iou_analysis else args.target_iou
+
+    logs_dir = Path(args.logs_path)
+    logs_dir.mkdir(parents=True, exist_ok=True)
+
+    for name in args.datasets.split(","):
+        name = name.strip()
+        if name == "Synthetic":
+            dataset = get_dataset("Synthetic")
+        else:
+            key = DATASET_PATH_KEYS.get(name)
+            path = paths.get(key) if key else None
+            if not path or not Path(path).exists():
+                print(f"[skip] {name}: dataset path not found "
+                      f"({key}={path}) — set it in config.yml")
+                continue
+            dataset = get_dataset(name, path)
+        if args.limit:
+            dataset = _limited(dataset, args.limit)
+
+        crop = DATASET_ZOOM.get(name, tuple(mcfg.backbone.img_size))
+        ds_params, ds_mcfg = maybe_interp_pos_embed(params, mcfg, crop)
+        pcfg = PredictorConfig(model=ds_mcfg, target_size=crop,
+                               with_flip=True, prob_thresh=args.thresh,
+                               skip_clicks=-1, prompt_mode=args.prompt_mode)
+        predictor = Predictor(ds_params, pcfg)
+
+        vis_callback = _make_vis_callback(logs_dir / "vis" / name) \
+            if args.vis_preds else None
+        all_ious, elapsed = evaluate_dataset(
+            dataset, predictor, max_iou_thr=target_iou,
+            pred_thr=args.thresh, min_clicks=args.min_n_clicks,
+            max_clicks=args.n_clicks, callback=vis_callback, progress=True)
+
+        mean_spc, mean_spi = get_time_metrics(all_ious, elapsed)
+        noc, _, over_max = compute_noc_metric(
+            all_ious, iou_thrs=[0.8, 0.85, 0.9, 0.95],
+            max_clicks=args.n_clicks)
+        header, row = get_results_table(noc, over_max, args.mode, name,
+                                        mean_spc, elapsed, args.n_clicks)
+        print(header)
+        print(row)
+        print(f"SPI: {mean_spi:.3f}s per instance")
+
+        if args.print_ious:
+            miou = mean_iou_per_click(all_ious, max_clicks=args.n_clicks)
+            print("mIoU@k:", np.array2string(miou, precision=4))
+        if args.save_ious or args.iou_analysis:
+            out = logs_dir / f"{name}_{args.mode}_{args.n_clicks}.pickle"
+            with open(out, "wb") as f:
+                pickle.dump({"all_ious": all_ious, "dataset": name,
+                             "mode": args.mode}, f)
+            print("saved IoU curves to", out)
+
+
+def _limited(dataset, n):
+    class Limited:
+        def __len__(self):
+            return min(n, len(dataset))
+
+        def get_sample(self, i):
+            return dataset.get_sample(i)
+
+        name = getattr(dataset, "name", "limited")
+    return Limited()
+
+
+def _make_vis_callback(out_dir: Path):
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def callback(image, gt_mask, probs, iou, sample_id, click_indx, clicks):
+        from pvpuformer_tpu.utils.vis import draw_with_blend_and_clicks
+        from PIL import Image
+        panel = draw_with_blend_and_clicks(
+            image, mask=(probs > 0.49).astype(np.int32), clicks_list=clicks)
+        Image.fromarray(panel).save(
+            out_dir / f"{sample_id}_{click_indx:02d}_{iou:.3f}.jpg")
+
+    return callback
+
+
+if __name__ == "__main__":
+    main()

@@ -257,3 +257,19 @@ def test_eval_step_and_num_iters_variants():
     assert np.isfinite(float(logs["loss"]))
     assert "instance_loss_0_1" in logs
     assert "instance_aux3_loss_0_1" in logs
+
+
+def test_synth_scribbles_on_device():
+    gt = np.zeros((2, 64, 64), np.float32)
+    gt[0, 10:40, 15:50] = 1.0                 # one blob; sample 1 empty
+    scr, rects = PS.synth_scribbles(jnp.asarray(gt), jax.random.key(0),
+                                    num_samples=200)
+    scr, rects = np.asarray(scr), np.asarray(rects)
+    assert scr.shape == (2, 200, 2) and rects.shape == (2, 4)
+    # (col, row) samples clipped to the bbox
+    assert scr[0, :, 0].min() >= 15 and scr[0, :, 0].max() <= 49
+    assert scr[0, :, 1].min() >= 10 and scr[0, :, 1].max() <= 39
+    # rect (col_c, row_c, col_ext, row_ext)
+    assert rects[0, 2] == 49 - 15 and rects[0, 3] == 39 - 10
+    # empty gt -> all zeros (cal_scribble's null convention)
+    assert not scr[1].any() and not rects[1].any()

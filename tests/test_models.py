@@ -166,3 +166,26 @@ def test_vpu_base_config_dims():
     assert cfg.neck.prompt_dim == 899
     assert cfg.head.out_channels == 256
     assert cfg.ppue.vec_dim == 899
+
+
+def test_plainvit_forward():
+    """PlainVit/SimpleClick legacy model (is_plainvit_model.py:59-95)."""
+    from pvpuformer_tpu.models.plainvit import (PlainVitConfig, init_plainvit,
+                                                plainvit_forward)
+    from pvpuformer_tpu.models.two_way import TwoWayConfig
+    cfg = PlainVitConfig(
+        backbone=ViTConfig(img_size=(64, 64), patch_size=(16, 16),
+                           embed_dim=64, depth=4, num_heads=2),
+        neck=NeckConfig(in_dim=64, out_dims=(16, 32, 48, 64),
+                        img_size=(64, 64), hide_dim=64,
+                        two_way=TwoWayConfig(depth=3, embedding_dim=64,
+                                             num_heads=4, mlp_dim=64)),
+        head=HeadConfig(in_channels=(16, 32, 48, 64), channels=32,
+                        d_model=64, ed_loss=False))
+    params = init_plainvit(jax.random.key(0), cfg)
+    assert "att" not in params["neck"] and "ffn" not in params["neck"]
+    img = jnp.zeros((2, 64, 64, 4))
+    pts = jnp.full((2, 12, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
+    out = jax.jit(lambda p, i, q: plainvit_forward(p, cfg, i, q))(params, img, pts)
+    assert out["instances"].shape == (2, 64, 64, 1)
+    assert np.isfinite(np.asarray(out["instances"])).all()

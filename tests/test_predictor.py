@@ -124,3 +124,32 @@ def test_fixed_shapes_across_images(predictor):
     shape2 = predictor.state.image.shape
     assert shape1 == (1, 64, 96, 3)
     assert shape2 == (1, 64, 96, 3)   # same bucket -> same compiled program
+
+
+def test_prompt_mode_box_and_scribble():
+    """Eval-time box/scribble prompt synthesis (get_vqu_prediction's
+    as_multi_prompts path, base.py:166-177) runs fused and finite."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
+    from pvpuformer_tpu.models.vpu import init_vpu
+    import jax
+    from test_models import tiny_cfg
+
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), mcfg)
+    r = np.random.default_rng(0)
+    image = (r.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    gt = np.zeros((64, 64), np.float32)
+    gt[16:48, 20:52] = 1.0
+
+    for mode in (1, 2):
+        cfg = PredictorConfig(model=mcfg, target_size=(64, 64),
+                              min_crop_size=32, prompt_mode=mode)
+        pred = Predictor(params, cfg)
+        pred.set_input(image, gt)
+        iou = pred.next_click()
+        assert np.isfinite(iou) and 0.0 <= iou <= 1.0
+        iou2 = pred.next_click()
+        assert np.isfinite(iou2)
