@@ -83,6 +83,37 @@ def vpu_base_config(crop: Tuple[int, int] = (448, 448), upsample: str = "x1",
     )
 
 
+def vpu_large_config(crop: Tuple[int, int] = (448, 448), upsample: str = "x1",
+                     dtype: Any = jnp.float32) -> VPUConfig:
+    """ViT-L variant (models_vit.py:311-314 backbone; BASELINE config 4)."""
+    channels = {"x1": 256, "x2": 128, "x4": 64}[upsample]
+    return VPUConfig(
+        backbone=ViTConfig(img_size=crop, patch_size=(16, 16), in_chans=3,
+                           embed_dim=1024, depth=24, num_heads=16),
+        neck=NeckConfig(in_dim=1024, out_dims=(128, 256, 512, 1024),
+                        img_size=crop),
+        head=HeadConfig(in_channels=(128, 256, 512, 1024), channels=channels,
+                        upsample=upsample, d_model=1024),
+        dtype=dtype,
+    )
+
+
+def vpu_huge_config(crop: Tuple[int, int] = (448, 448), upsample: str = "x1",
+                    dtype: Any = jnp.float32) -> VPUConfig:
+    """ViT-H variant (models_vit.py:316-319, 14x14 patches; BASELINE cfg 5):
+    448/14 = 32x32 token grid, 224-pixel windows = 16x16 tokens, 2x2 split."""
+    channels = {"x1": 256, "x2": 128, "x4": 64}[upsample]
+    return VPUConfig(
+        backbone=ViTConfig(img_size=crop, patch_size=(14, 14), in_chans=3,
+                           embed_dim=1280, depth=32, num_heads=16),
+        neck=NeckConfig(in_dim=1280, out_dims=(128, 256, 512, 1024),
+                        img_size=crop),
+        head=HeadConfig(in_channels=(128, 256, 512, 1024), channels=channels,
+                        upsample=upsample, d_model=1280),
+        dtype=dtype,
+    )
+
+
 def init_vpu(key, cfg: VPUConfig) -> Dict[str, Any]:
     k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     coord_ch = 3 if cfg.with_prev_mask else 2

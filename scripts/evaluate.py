@@ -47,6 +47,9 @@ def parse_args():
     p.add_argument("--prompt-mode", type=int, default=0, choices=[0, 1, 2],
                    help="0 clicks (shipped protocol) / 1 +boxes / 2 +scribbles")
     p.add_argument("--eval-mode", default="cvpr")
+    p.add_argument("--batched", type=int, default=0, metavar="B",
+                   help="evaluate B sessions per dispatch (throughput mode; "
+                        "0 = sequential, one dispatch per session)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--logs-path", default="./experiments/evaluation_logs")
@@ -141,10 +144,20 @@ def main() -> None:
 
         vis_callback = _make_vis_callback(logs_dir / "vis" / name) \
             if args.vis_preds else None
-        all_ious, elapsed = evaluate_dataset(
-            dataset, predictor, max_iou_thr=target_iou,
-            pred_thr=args.thresh, min_clicks=args.min_n_clicks,
-            max_clicks=args.n_clicks, callback=vis_callback, progress=True)
+        if args.batched > 0 and vis_callback is None:
+            from pvpuformer_tpu.inference.batched import BatchedEvaluator
+            bev = BatchedEvaluator(ds_params, pcfg, batch_size=args.batched)
+            all_ious, elapsed, stats = bev.evaluate(
+                dataset, max_clicks=args.n_clicks, max_iou_thr=target_iou,
+                min_clicks=args.min_n_clicks)
+            print(f"throughput: {stats['objects_per_sec']:.3f} obj/s, "
+                  f"{stats['clicks_per_sec']:.2f} clicks/s")
+        else:
+            all_ious, elapsed = evaluate_dataset(
+                dataset, predictor, max_iou_thr=target_iou,
+                pred_thr=args.thresh, min_clicks=args.min_n_clicks,
+                max_clicks=args.n_clicks, callback=vis_callback,
+                progress=True)
 
         mean_spc, mean_spi = get_time_metrics(all_ious, elapsed)
         noc, _, over_max = compute_noc_metric(

@@ -1,0 +1,28 @@
+"""Batched multi-instance eval == sequential eval, object by object."""
+import numpy as np
+import jax
+
+from pvpuformer_tpu.inference.batched import BatchedEvaluator
+from pvpuformer_tpu.inference.datasets import SyntheticDataset
+from pvpuformer_tpu.inference.evaluation import evaluate_dataset
+from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
+from pvpuformer_tpu.models.vpu import init_vpu
+
+from test_models import tiny_cfg
+
+
+def test_batched_matches_sequential():
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), mcfg)
+    cfg = PredictorConfig(model=mcfg, target_size=(64, 64), min_crop_size=32)
+    ds = SyntheticDataset(n_samples=3, hw=(64, 64))
+
+    seq_curves, _ = evaluate_dataset(ds, Predictor(params, cfg),
+                                     max_iou_thr=0.95, max_clicks=3)
+    bat = BatchedEvaluator(params, cfg, batch_size=2)   # pads the last chunk
+    bat_curves, elapsed, stats = bat.evaluate(ds, max_clicks=3,
+                                              max_iou_thr=0.95)
+    assert len(bat_curves) == len(seq_curves) == 3
+    for a, b in zip(seq_curves, bat_curves):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+    assert stats["objects_per_sec"] > 0
