@@ -52,6 +52,7 @@ class TrainConfig:
     nfl_gamma: float = 2.0
     pred_thresh: float = 0.49
     use_random_clicks: bool = True
+    use_iterloss: bool = True                       # False = RITM iter-mask
     as_allmask: bool = False
     prev_mask_drop_prob: float = 0.0
     remat: bool = True                              # jax.checkpoint per round
@@ -115,6 +116,11 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
     if cfg.remat:
         fwd = jax.checkpoint(fwd, static_argnums=(1,))
 
+    if not cfg.use_iterloss:
+        return _itermask_forward(params, cfg, fwd, image, gt, points,
+                                 scribbles, rects, ed_mask, prev, key,
+                                 num_iters)
+
     total = jnp.float32(0.0)
     logs: Dict[str, jnp.ndarray] = {}
     boxes = jnp.zeros((b, 5), jnp.int32)
@@ -157,6 +163,45 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
     aux = {"logs": logs, "final_instances": out["instances"],
            "points": points}
     return total, aux
+
+
+def _itermask_forward(params, cfg: TrainConfig, fwd, image, gt, points,
+                      scribbles, rects, ed_mask, prev, key, num_iters: int):
+    """RITM iter-mask branch (trainer.py:459-491 + find_next_n_points at
+    493-522): simulate num_iters click rounds WITHOUT gradients, then one
+    supervised forward on the final state. Loss = NFL + Dice (no P2CL round
+    accumulation)."""
+    from .prompt_sim import next_clicks
+
+    for _ in range(num_iters):
+        key, kt, kn = jax.random.split(key, 3)
+        net_input = jnp.concatenate([image, prev.astype(image.dtype)],
+                                    axis=-1)
+        out = fwd(params, cfg.model, net_input, points,
+                  jnp.zeros((image.shape[0], 5), jnp.float32), scribbles,
+                  rects, jnp.int32(0))
+        prev = jax.lax.stop_gradient(
+            jax.nn.sigmoid(out["instances"].astype(jnp.float32)))
+        points, _ = next_clicks(prev[..., 0], gt[..., 0], points, kn,
+                                pred_thresh=cfg.pred_thresh)
+        points = jax.lax.stop_gradient(points)
+
+    net_input = jnp.concatenate([image, prev.astype(image.dtype)], axis=-1)
+    out = fwd(params, cfg.model, net_input, points,
+              jnp.zeros((image.shape[0], 5), jnp.float32), scribbles, rects,
+              jnp.int32(0))
+    logs: Dict[str, jnp.ndarray] = {}
+    nfl = jnp.mean(L.normalized_focal_loss(out["instances"], gt,
+                                           alpha=cfg.nfl_alpha,
+                                           gamma=cfg.nfl_gamma))
+    dice = jnp.mean(L.dice_loss(out["instances"], gt, use_sigmoid=True,
+                                naive_dice=True))
+    logs["instance_loss"] = nfl
+    logs["instance_aux_loss"] = dice
+    total = cfg.instance_loss_weight * nfl + cfg.instance_aux_loss_weight * dice
+    logs["loss"] = total
+    return total, {"logs": logs, "final_instances": out["instances"],
+                   "points": points}
 
 
 @functools.partial(jax.jit,

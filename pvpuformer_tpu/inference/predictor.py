@@ -56,6 +56,10 @@ class PredictorConfig:
     # ROI-cropped gt/error masks, = get_vqu_prediction's
     # _get_vqu_prediction_prompts path, base.py:166-177)
     prompt_mode: int = 0
+    # cap on max(H, W): larger inputs are host-resized down before the
+    # session and predictions reported at that size (transforms/
+    # limit_longest_side.py:4-22). 0 disables.
+    limit_longest_side: int = 0
 
 
 class SessionState(NamedTuple):
@@ -237,8 +241,10 @@ def _forward_round(params, cfg: PredictorConfig, state: SessionState,
             scr, rects = synth_scribbles(gtc[..., 0], key, num_samples=1000)
             scribbles = (scr[:, None], rects[:, None])
 
-    out = vpu_forward(params, cfg.model, crop, pts, boxes=boxes,
-                      scribbles=scribbles, prompt_type=cfg.prompt_mode)
+    from ..models.registry import forward_for
+    fwd = forward_for(cfg.model)          # any registered model family
+    out = fwd(params, cfg.model, crop, pts, boxes=boxes,
+              scribbles=scribbles, prompt_type=cfg.prompt_mode)
     logits = out["instances"]                               # (B, th, tw, 1)
     if cfg.with_flip:
         logits = 0.5 * (logits[:1] + logits[1:, :, ::-1, :])
@@ -381,6 +387,19 @@ class Predictor:
         return (-(-h // b) * b, -(-w // b) * b)
 
     def set_input(self, image: np.ndarray, gt_mask: np.ndarray):
+        self._orig_hw = image.shape[:2]
+        lls = self.cfg.limit_longest_side
+        if lls and max(image.shape[:2]) > lls:
+            scale = lls / max(image.shape[:2])
+            nh = max(1, int(round(image.shape[0] * scale)))
+            nw = max(1, int(round(image.shape[1] * scale)))
+            from PIL import Image as PILImage
+            image = np.asarray(PILImage.fromarray(
+                np.ascontiguousarray(image)).resize((nw, nh),
+                                                    PILImage.BILINEAR))
+            gt_mask = np.asarray(PILImage.fromarray(
+                gt_mask.astype(np.int32), mode="I").resize(
+                    (nw, nh), PILImage.NEAREST))
         canvas = self._canvas(*image.shape[:2])
         self.state = init_session(image, gt_mask,
                                   self.cfg.model.num_max_points, canvas)

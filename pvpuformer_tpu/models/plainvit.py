@@ -33,6 +33,7 @@ class PlainVitConfig:
     neck: NeckConfig = NeckConfig()
     head: HeadConfig = dataclasses.field(
         default_factory=lambda: HeadConfig(ed_loss=False))
+    num_max_points: int = 24
     norm_radius: float = 5.0
     use_disks: bool = True
     with_prev_mask: bool = True
@@ -67,8 +68,8 @@ def init_plainvit(key, cfg: PlainVitConfig) -> Dict[str, Any]:
 
 def plainvit_forward(params, cfg: PlainVitConfig, image: jnp.ndarray,
                      points: jnp.ndarray,
-                     shuffle_key: Optional[jax.Array] = None
-                     ) -> Dict[str, jnp.ndarray]:
+                     shuffle_key: Optional[jax.Array] = None,
+                     **_) -> Dict[str, jnp.ndarray]:
     """image (B, H, W, 3|4), points (B, 2N, 3) -> {'instances': logits}."""
     dt = cfg.dtype
     image = image.astype(dt)

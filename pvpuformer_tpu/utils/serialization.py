@@ -29,11 +29,21 @@ def _registry() -> Dict[str, Any]:
     from ..models.fpn import NeckConfig
     from ..models.seg_head import HeadConfig
     from ..models.vpu import VPUConfig
+    from ..models.plainvit import PlainVitConfig
     from ..engine.train_step import TrainConfig
     from ..inference.predictor import PredictorConfig
     from ..ops.ppue import PPuEConfig
     classes = [ViTConfig, TwoWayConfig, NeckConfig, HeadConfig, VPUConfig,
-               TrainConfig, PredictorConfig, PPuEConfig]
+               PlainVitConfig, TrainConfig, PredictorConfig, PPuEConfig]
+    try:
+        from ..models.zoo.segformer import SegformerISConfig
+        from ..models.zoo.hrnet import HRNetISConfig
+        from ..models.zoo.deeplab import DeeplabISConfig
+        from ..models.zoo.swin import SwinISConfig
+        classes += [SegformerISConfig, HRNetISConfig, DeeplabISConfig,
+                    SwinISConfig]
+    except ImportError:
+        pass
     return {c.__name__: c for c in classes}
 
 

@@ -273,3 +273,20 @@ def test_synth_scribbles_on_device():
     assert rects[0, 2] == 49 - 15 and rects[0, 3] == 39 - 10
     # empty gt -> all zeros (cal_scribble's null convention)
     assert not scr[1].any() and not rects[1].any()
+
+
+@pytest.mark.slow
+def test_itermask_training_mode():
+    """RITM iter-mask branch (use_iterloss=False, trainer.py:459-491)."""
+    from pvpuformer_tpu.models.vpu import init_vpu
+    from test_engine import tiny_batch
+
+    mcfg = tiny_cfg()
+    cfg = TrainConfig(model=mcfg, use_iterloss=False, remat=False)
+    params = init_vpu(jax.random.key(0), mcfg)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(0, b=2).items()}
+    thr = jnp.asarray([0.4, 0.375, 0.425])
+    logs, ious, valid = eval_step(params, batch, jax.random.key(0), thr,
+                                  cfg=cfg, num_iters=2)
+    assert np.isfinite(float(logs["loss"]))
+    assert "instance_loss" in logs and "instance_aux3_loss_0_1" not in logs

@@ -153,3 +153,28 @@ def test_prompt_mode_box_and_scribble():
         assert np.isfinite(iou) and 0.0 <= iou <= 1.0
         iou2 = pred.next_click()
         assert np.isfinite(iou2)
+
+
+def test_limit_longest_side():
+    import dataclasses
+    import numpy as np
+    import jax
+    from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
+    from pvpuformer_tpu.models.vpu import init_vpu
+    from test_models import tiny_cfg
+
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), mcfg)
+    cfg = PredictorConfig(model=mcfg, target_size=(64, 64), min_crop_size=32,
+                          limit_longest_side=96)
+    pred = Predictor(params, cfg)
+    r = np.random.default_rng(0)
+    image = (r.uniform(size=(100, 160, 3)) * 255).astype(np.uint8)
+    gt = np.zeros((100, 160), np.float32)
+    gt[30:70, 40:120] = 1.0
+    pred.set_input(image, gt)
+    # longest side capped at 96 -> image resized to (60, 96)
+    assert int(pred.state.img_h) == 60 and int(pred.state.img_w) == 96
+    iou = pred.next_click()
+    assert np.isfinite(iou)
+    assert pred.probs.shape == (60, 96)

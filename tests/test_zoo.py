@@ -1,0 +1,90 @@
+"""Legacy backbone zoo: forward shapes, registry dispatch, interactive
+sessions through the fused predictor."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pvpuformer_tpu.models import registry
+from pvpuformer_tpu.models.zoo.segformer import SegformerISConfig
+from pvpuformer_tpu.models.zoo.hrnet import HRNetISConfig
+from pvpuformer_tpu.models.zoo.deeplab import DeeplabISConfig
+from pvpuformer_tpu.models.zoo.swin import SwinISConfig
+from pvpuformer_tpu.models.zoo.common import frozen_bn, init_frozen_bn
+from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
+
+TINY_CONFIGS = [
+    SegformerISConfig(embed_dims=(16, 32, 48, 64), depths=(1, 1, 1, 1),
+                      num_heads=(1, 2, 3, 4), head_channels=32),
+    HRNetISConfig(width=8, small=True, ocr_width=16),
+    DeeplabISConfig(ch=32),
+    SwinISConfig(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                 head_channels=16, window=4),
+]
+
+
+def test_frozen_bn_matches_torch_eval_bn():
+    import torch
+    r = np.random.default_rng(0)
+    x = r.normal(size=(2, 5, 5, 8)).astype(np.float32)
+    p = init_frozen_bn(8)
+    p = {"scale": jnp.asarray(r.normal(size=8).astype(np.float32)),
+         "bias": jnp.asarray(r.normal(size=8).astype(np.float32)),
+         "mean": jnp.asarray(r.normal(size=8).astype(np.float32)),
+         "var": jnp.asarray(r.uniform(0.5, 2.0, 8).astype(np.float32))}
+    ours = np.asarray(frozen_bn(p, jnp.asarray(x)))
+    bn = torch.nn.BatchNorm2d(8).eval()
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(np.asarray(p["scale"])))
+        bn.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+        bn.running_mean.copy_(torch.from_numpy(np.asarray(p["mean"])))
+        bn.running_var.copy_(torch.from_numpy(np.asarray(p["var"])))
+        ref = bn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("cfg", TINY_CONFIGS,
+                         ids=lambda c: type(c).__name__)
+def test_zoo_forward_and_grad(cfg):
+    init = registry.init_for(cfg)
+    fwd = registry.forward_for(cfg)
+    params = init(jax.random.key(0), cfg)
+    img = jnp.zeros((2, 64, 64, 4))
+    pts = jnp.full((2, 8, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
+    out = jax.jit(lambda p, i, q: fwd(p, cfg, i, q))(params, img, pts)
+    assert out["instances"].shape == (2, 64, 64, 1)
+    assert np.isfinite(np.asarray(out["instances"])).all()
+
+    # trainable: gradient flows to at least 90% of leaves
+    def loss(p):
+        return jnp.mean(fwd(p, cfg, img, pts)["instances"] ** 2)
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    nz = sum(bool(np.any(np.asarray(l))) for l in leaves)
+    assert nz / len(leaves) > 0.7, f"{nz}/{len(leaves)} leaves got gradient"
+
+
+@pytest.mark.slow
+def test_zoo_interactive_session():
+    cfg = HRNetISConfig(width=8, small=True, ocr_width=16)
+    params = registry.init_for(cfg)(jax.random.key(0), cfg)
+    pcfg = PredictorConfig(model=cfg, target_size=(64, 64), min_crop_size=32)
+    pred = Predictor(params, pcfg)
+    r = np.random.default_rng(0)
+    image = (r.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    gt = np.zeros((64, 64), np.float32)
+    gt[16:48, 20:52] = 1.0
+    pred.set_input(image, gt)
+    assert np.isfinite(pred.next_click())
+    assert np.isfinite(pred.run_clicks(2)).all()
+
+
+def test_zoo_config_checkpoint_roundtrip(tmp_path):
+    from pvpuformer_tpu.utils.serialization import (save_checkpoint,
+                                                    load_checkpoint)
+    cfg = HRNetISConfig(width=8, small=True, ocr_width=16)
+    params = registry.init_for(cfg)(jax.random.key(0), cfg)
+    save_checkpoint(tmp_path / "z.npz", params, config=cfg)
+    params2, cfg2, _, _ = load_checkpoint(tmp_path / "z.npz")
+    assert cfg2 == cfg
