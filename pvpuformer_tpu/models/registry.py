@@ -54,6 +54,12 @@ def _populate() -> None:
         register(SwinISConfig, init_swin_is, swin_is_forward)
     except ImportError:
         pass
+    try:
+        from .zoo.hrformer import (HRFormerISConfig, init_hrformer_is,
+                                   hrformer_is_forward)
+        register(HRFormerISConfig, init_hrformer_is, hrformer_is_forward)
+    except ImportError:
+        pass
 
 
 _populate()

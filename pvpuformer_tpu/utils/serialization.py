@@ -40,8 +40,9 @@ def _registry() -> Dict[str, Any]:
         from ..models.zoo.hrnet import HRNetISConfig
         from ..models.zoo.deeplab import DeeplabISConfig
         from ..models.zoo.swin import SwinISConfig
+        from ..models.zoo.hrformer import HRFormerISConfig
         classes += [SegformerISConfig, HRNetISConfig, DeeplabISConfig,
-                    SwinISConfig]
+                    SwinISConfig, HRFormerISConfig]
     except ImportError:
         pass
     return {c.__name__: c for c in classes}

@@ -178,3 +178,39 @@ def test_limit_longest_side():
     iou = pred.next_click()
     assert np.isfinite(iou)
     assert pred.probs.shape == (60, 96)
+
+
+def test_tiled_forward_blends():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pvpuformer_tpu.inference.tiled import tiled_forward
+    from pvpuformer_tpu.models.vpu import init_vpu, vpu_forward
+    from test_models import tiny_cfg
+
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), mcfg)
+    r = np.random.default_rng(0)
+    img = jnp.asarray(r.uniform(size=(1, 96, 128, 4)).astype(np.float32))
+    pts = jnp.full((1, 12, 3), -1.0).at[0, 0].set(jnp.asarray([50.0, 60.0, 0]))
+    out = tiled_forward(params, mcfg, img, pts, crop_size=(64, 64),
+                        min_overlap=0.25)
+    assert out.shape == (1, 96, 128, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # a tile-sized image equals the plain forward
+    img2 = img[:, :64, :64]
+    t = np.asarray(tiled_forward(params, mcfg, img2, pts,
+                                 crop_size=(64, 64)))
+    d = np.asarray(vpu_forward(params, mcfg, img2, pts,
+                               prompt_type=0)["instances"])
+    np.testing.assert_allclose(t, d, atol=1e-4)
+
+
+def test_sam_compat_gating():
+    from pvpuformer_tpu.inference.sam_compat import (sam_available,
+                                                     SamCompatPredictor)
+    import pytest as _pytest
+    if not sam_available():
+        with _pytest.raises(ImportError):
+            SamCompatPredictor()

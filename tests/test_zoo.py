@@ -10,6 +10,7 @@ from pvpuformer_tpu.models.zoo.segformer import SegformerISConfig
 from pvpuformer_tpu.models.zoo.hrnet import HRNetISConfig
 from pvpuformer_tpu.models.zoo.deeplab import DeeplabISConfig
 from pvpuformer_tpu.models.zoo.swin import SwinISConfig
+from pvpuformer_tpu.models.zoo.hrformer import HRFormerISConfig
 from pvpuformer_tpu.models.zoo.common import frozen_bn, init_frozen_bn
 from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
 
@@ -20,6 +21,8 @@ TINY_CONFIGS = [
     DeeplabISConfig(ch=32),
     SwinISConfig(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
                  head_channels=16, window=4),
+    HRFormerISConfig(width=8, num_heads=(1, 2, 4, 8), num_units=(1, 1, 1),
+                     window=4, ocr_width=16),
 ]
 
 
