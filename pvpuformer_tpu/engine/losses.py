@@ -191,3 +191,33 @@ def error_count(gt: jnp.ndarray, pred_logits: jnp.ndarray,
     pred = jax.nn.sigmoid(pred_logits.astype(jnp.float32)) > pred_thresh
     diff = (gt.astype(jnp.float32) > 0.5) != pred
     return jnp.sum(diff) / float(gt.size)
+
+
+def cross_entropy_loss(pred_logits: jnp.ndarray, label: jnp.ndarray,
+                       ignore_index: int = 255,
+                       class_weight=None) -> jnp.ndarray:
+    """mmseg-style multi-class CE (transformer_helper/cross_entropy_loss.py:
+    199): pred (B, H, W, C) logits, label (B, H, W) int class ids,
+    `ignore_index` pixels dropped; mean over valid pixels."""
+    pred = pred_logits.astype(jnp.float32)
+    c = pred.shape[-1]
+    valid = label != ignore_index
+    lab = jnp.where(valid, label, 0)
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    nll = -jnp.take_along_axis(logp, lab[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    if class_weight is not None:
+        w = jnp.asarray(class_weight, jnp.float32)[lab]
+        nll = nll * w
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def accuracy(pred_logits: jnp.ndarray, label: jnp.ndarray,
+             ignore_index: int = 255) -> jnp.ndarray:
+    """mmseg `accuracy` (transformer_helper/accuracy.py): top-1 pixel
+    accuracy over non-ignored pixels, in percent."""
+    pred = jnp.argmax(pred_logits, axis=-1)
+    valid = label != ignore_index
+    correct = (pred == label) & valid
+    return 100.0 * jnp.sum(correct) / jnp.maximum(jnp.sum(valid), 1)

@@ -91,3 +91,36 @@ def test_zoo_config_checkpoint_roundtrip(tmp_path):
     save_checkpoint(tmp_path / "z.npz", params, config=cfg)
     params2, cfg2, _, _ = load_checkpoint(tmp_path / "z.npz")
     assert cfg2 == cfg
+
+
+def test_swin_unet_forward():
+    from pvpuformer_tpu.models.zoo.swin_unet import (SwinUNetISConfig,
+                                                     init_swin_unet_is,
+                                                     swin_unet_is_forward)
+    cfg = SwinUNetISConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                           num_heads=(1, 2, 4, 8), window=4)
+    params = init_swin_unet_is(jax.random.key(0), cfg)
+    img = jnp.zeros((1, 64, 64, 4))
+    pts = jnp.full((1, 8, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
+    out = swin_unet_is_forward(params, cfg, img, pts)
+    assert out["instances"].shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(out["instances"])).all()
+
+
+def test_clip_text_encoder():
+    from pvpuformer_tpu.models.zoo.clip_text import (ClipTextConfig,
+                                                     init_clip_text,
+                                                     encode_text,
+                                                     byte_tokenizer)
+    cfg = ClipTextConfig(width=32, heads=2, layers=2, embed_dim=16,
+                         context_length=32)
+    params = init_clip_text(jax.random.key(0), cfg)
+    toks = byte_tokenizer(["a cat", "the red ball"], 32)
+    emb = encode_text(params, cfg, jnp.asarray(toks))
+    assert emb.shape == (2, 16)
+    assert np.isfinite(np.asarray(emb)).all()
+    # different texts -> different embeddings; same text -> same
+    emb2 = encode_text(params, cfg, jnp.asarray(byte_tokenizer(["a cat"], 32)))
+    np.testing.assert_allclose(np.asarray(emb[0]), np.asarray(emb2[0]),
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(emb[0]), np.asarray(emb[1]))
