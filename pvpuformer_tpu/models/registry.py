@@ -60,6 +60,12 @@ def _populate() -> None:
         register(HRFormerISConfig, init_hrformer_is, hrformer_is_forward)
     except ImportError:
         pass
+    try:
+        from .zoo.swin_unet import (SwinUNetISConfig, init_swin_unet_is,
+                                    swin_unet_is_forward)
+        register(SwinUNetISConfig, init_swin_unet_is, swin_unet_is_forward)
+    except ImportError:
+        pass
 
 
 _populate()

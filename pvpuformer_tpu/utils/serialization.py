@@ -41,8 +41,11 @@ def _registry() -> Dict[str, Any]:
         from ..models.zoo.deeplab import DeeplabISConfig
         from ..models.zoo.swin import SwinISConfig
         from ..models.zoo.hrformer import HRFormerISConfig
+        from ..models.zoo.swin_unet import SwinUNetISConfig
+        from ..models.zoo.clip_text import ClipTextConfig
         classes += [SegformerISConfig, HRNetISConfig, DeeplabISConfig,
-                    SwinISConfig, HRFormerISConfig]
+                    SwinISConfig, HRFormerISConfig, SwinUNetISConfig,
+                    ClipTextConfig]
     except ImportError:
         pass
     return {c.__name__: c for c in classes}
