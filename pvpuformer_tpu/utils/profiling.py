@@ -60,12 +60,18 @@ def device_time_per_call(fn: Callable[..., jnp.ndarray], args: Sequence,
     jit (carry forces sequencing) and two chain lengths are differenced so
     constant dispatch/readback overhead cancels.
     """
+    assert args, ("pass inputs as ARGUMENTS: closed-over device arrays "
+                  "become HLO constants and XLA constant-folds the whole "
+                  "computation at compile time")
+
     def scan_n(k):
         @jax.jit
         def g(*a):
             def body(c, _):
                 out = fn(*a)
-                return jnp.sum(out.astype(jnp.float32)) * 0 + c * 0, None
+                # carry must genuinely depend on out (DCE) without changing
+                # the next iteration's inputs
+                return c * 0.5 + jnp.sum(out.astype(jnp.float32)) * 1e-30, None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
             return c
         np.asarray(g(*args))                        # compile + warm

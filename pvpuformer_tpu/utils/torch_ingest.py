@@ -115,3 +115,137 @@ def convert_mae_vit(sd: Dict[str, np.ndarray], cfg: ViTConfig,
 def load_mae_pretrained(path, cfg: ViTConfig) -> Dict[str, Any]:
     """One-call ingest of an MAE .pth (config.yml:28-30 checkpoints)."""
     return convert_mae_vit(load_torch_state_dict(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# reference VPU checkpoint ingest (VitMultiGaussianVector_ed_Model)
+# ---------------------------------------------------------------------------
+
+def _lin(sd, name) -> Dict[str, np.ndarray]:
+    p = {"w": sd[f"{name}.weight"].T}
+    if f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def _gn(sd, name) -> Dict[str, np.ndarray]:
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _conv(sd, name) -> Dict[str, np.ndarray]:
+    """Conv2d (out,in,kh,kw) -> HWIO."""
+    p = {"w": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0))}
+    if f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def _deconv(sd, name) -> Dict[str, np.ndarray]:
+    """ConvTranspose2d (in,out,2,2) -> our (in, 2, 2, out) matmul form."""
+    p = {"w": np.ascontiguousarray(sd[f"{name}.weight"].transpose(0, 2, 3, 1))}
+    if f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def _attn(sd, name) -> Dict[str, Any]:
+    """transformer.py Attention (q/k/v/out_proj Linears, :466-521)."""
+    return {"q": _lin(sd, f"{name}.q_proj"), "k": _lin(sd, f"{name}.k_proj"),
+            "v": _lin(sd, f"{name}.v_proj"),
+            "out": _lin(sd, f"{name}.out_proj")}
+
+
+def convert_vpu_checkpoint(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Reference VitMultiGaussianVector_ed_Model state dict -> our params.
+
+    Name map (reference modules at is_vpu_model.py:165-186, SimpleFPN at
+    18-91, TwoWayTransformer at transformer.py:222-427, head at
+    swin_transformer.py:655-722). `cfg` is our VPUConfig (for the ViT grid).
+    Enables bit-comparable evaluation against reference weights.
+    """
+    params: Dict[str, Any] = {
+        "backbone": convert_mae_vit(sd, cfg.backbone, prefix="backbone."),
+        "patch_embed_coords": conv_to_patch_embed(
+            sd["patch_embed_coords.proj.weight"],
+            sd["patch_embed_coords.proj.bias"]),
+        "pe_gaussian": sd["pe_layer.positional_encoding_gaussian_matrix"],
+        "point_embeddings": np.stack(
+            [sd[f"point_embeddings.{i}.weight"][0] for i in range(4)]),
+        "not_a_point_embed": sd["not_a_point_embed.weight"],
+    }
+
+    # --- neck (SimpleFPN, is_vpu_model.py:18-91) ---
+    layers = []
+    depth = 0
+    while f"neck.att.layers.{depth}.norm1.weight" in sd:
+        depth += 1
+    for i in range(depth):
+        b = f"neck.att.layers.{i}"
+        layers.append({
+            "self_attn": _attn(sd, f"{b}.self_attn"),
+            "norm1": _gn(sd, f"{b}.norm1"),
+            "cross_t2i": _attn(sd, f"{b}.cross_attn_token_to_image"),
+            "norm2": _gn(sd, f"{b}.norm2"),
+            "mlp": {"fc1": _lin(sd, f"{b}.mlp.lin1"),
+                    "fc2": _lin(sd, f"{b}.mlp.lin2")},
+            "norm3": _gn(sd, f"{b}.norm3"),
+            "cross_i2t": _attn(sd, f"{b}.cross_attn_image_to_token"),
+            "norm4": _gn(sd, f"{b}.norm4"),
+        })
+    params["neck"] = {
+        "ffn": {"fc1": _lin(sd, "neck.ffn_layer.lin1"),
+                "fc2": _lin(sd, "neck.ffn_layer.lin2")},
+        "att": {"layers": layers,
+                "final_t2i": _attn(sd, "neck.att.final_attn_token_to_image"),
+                "norm_final": _gn(sd, "neck.att.norm_final_attn")},
+        # Sequential indices: is_vpu_model.py:56-86
+        "down4": {"deconv1": _deconv(sd, "neck.down_4.0"),
+                  "gn1": _gn(sd, "neck.down_4.1"),
+                  "deconv2": _deconv(sd, "neck.down_4.3"),
+                  "gn2": _gn(sd, "neck.down_4.4"),
+                  "conv": _conv(sd, "neck.down_4.5"),
+                  "gn3": _gn(sd, "neck.down_4.6")},
+        "down8": {"deconv": _deconv(sd, "neck.down_8.0"),
+                  "gn1": _gn(sd, "neck.down_8.1"),
+                  "conv": _conv(sd, "neck.down_8.2"),
+                  "gn2": _gn(sd, "neck.down_8.3")},
+        "down16": {"conv": _conv(sd, "neck.down_16.0"),
+                   "gn": _gn(sd, "neck.down_16.1")},
+        "down32": {"conv1": _conv(sd, "neck.down_32.0"),
+                   "gn1": _gn(sd, "neck.down_32.1"),
+                   "conv2": _conv(sd, "neck.down_32.2"),
+                   "gn2": _gn(sd, "neck.down_32.3")},
+    }
+
+    # --- head (SwinTransfomerSegHead, swin_transformer.py:655-722) ---
+    n_scales = len(cfg.head.in_channels)
+    head: Dict[str, Any] = {
+        "convs": [_conv(sd, f"head.convs.{i}.conv")
+                  for i in range(n_scales)],
+        "fusion": _conv(sd, "head.fusion_conv.conv"),
+        "conv_seg": _conv(sd, "head.conv_seg"),
+    }
+    if "head.up_conv1.0.weight" in sd:
+        head["up1"] = {"deconv": _deconv(sd, "head.up_conv1.0"),
+                       "gn1": _gn(sd, "head.up_conv1.1"),
+                       "conv": _conv(sd, "head.up_conv1.2"),
+                       "gn2": _gn(sd, "head.up_conv1.3")}
+    if "head.up_conv2.0.weight" in sd:
+        head["up2"] = {"deconv": _deconv(sd, "head.up_conv2.0"),
+                       "gn1": _gn(sd, "head.up_conv2.1"),
+                       "conv": _conv(sd, "head.up_conv2.2"),
+                       "gn2": _gn(sd, "head.up_conv2.3")}
+    if "head.logit_scale" in sd:
+        head["logit_scale"] = sd["head.logit_scale"]
+        head["ffn"] = {"fc1": _lin(sd, "head.ffn_layer.lin1"),
+                       "fc2": _lin(sd, "head.ffn_layer.lin2")}
+    params["head"] = head
+
+    if "head_aux.weight" in sd:
+        params["head_aux"] = _conv(sd, "head_aux")
+    return params
+
+
+def load_vpu_checkpoint(path, cfg) -> Dict[str, Any]:
+    """One-call ingest of a reference VPU .pth ({state_dict, config})."""
+    return convert_vpu_checkpoint(load_torch_state_dict(path), cfg)

@@ -57,6 +57,11 @@ def parse_args():
                    help="config.yml with dataset paths (default: repo root)")
     p.add_argument("--limit", type=int, default=0,
                    help="evaluate only the first N samples (smoke runs)")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="evaluate shard I of N (multi-host eval: run one "
+                        "shard per host, e.g. 0/4 .. 3/4, merge the IoU "
+                        "pickles; replaces the reference's single-process "
+                        "eval, SURVEY §2.8)")
     return p.parse_args()
 
 
@@ -134,6 +139,9 @@ def main() -> None:
             dataset = get_dataset(name, path)
         if args.limit:
             dataset = _limited(dataset, args.limit)
+        if args.shard:
+            si, sn = (int(v) for v in args.shard.split("/"))
+            dataset = _sharded(dataset, si, sn)
 
         crop = DATASET_ZOOM.get(name, tuple(mcfg.backbone.img_size))
         ds_params, ds_mcfg = maybe_interp_pos_embed(params, mcfg, crop)
@@ -178,6 +186,20 @@ def main() -> None:
                 pickle.dump({"all_ious": all_ious, "dataset": name,
                              "mode": args.mode}, f)
             print("saved IoU curves to", out)
+
+
+def _sharded(dataset, index, count):
+    ids = list(range(index, len(dataset), count))
+
+    class Sharded:
+        def __len__(self):
+            return len(ids)
+
+        def get_sample(self, i):
+            return dataset.get_sample(ids[i])
+
+        name = getattr(dataset, "name", "sharded")
+    return Sharded()
 
 
 def _limited(dataset, n):

@@ -2,12 +2,14 @@
 """Per-component device timing of the interactive click path (ViT-B@448).
 
 Uses the tunnel-safe difference method (utils/profiling.device_time_per_call)
-to attribute the per-click budget: backbone / neck+head / prompt encodings /
-full forward / full click step. Run on the TPU:
+to attribute the per-click budget. NOTE: components must receive their inputs
+as ARGUMENTS — closing over device arrays turns them into HLO constants and
+XLA constant-folds the whole computation at compile time (hangs the build).
 
     python scripts/profile_click.py
 """
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -40,33 +42,42 @@ def main() -> None:
     tokens = vpu_backbone_embed(params, mcfg, rgb, coords)
     pv = ppue_click(pts, mcfg.ppue, num_max_points=24).astype(jnp.bfloat16)
 
-    t_bb = device_time_per_call(
-        lambda: vpu_backbone_embed(params, mcfg, rgb, coords), ())
-    print(f"backbone (b2):        {t_bb:7.3f} ms")
+    def bb(params, rgb, coords):
+        return vpu_backbone_embed(params, mcfg, rgb, coords)
+    print(f"backbone (b2):        "
+          f"{device_time_per_call(bb, (params, rgb, coords)):7.3f} ms",
+          flush=True)
 
-    def neck_head():
+    def neck_head(params, tokens, pv):
         ms, q = neck_forward(params["neck"], mcfg.neck, tokens, pv,
                              mcfg.backbone.grid_size)
         seg, _ = head_forward(params["head"], mcfg.head, ms, q)
         return bilinear_resize(seg, 448, 448, align_corners=True)
-    print(f"neck+head+upsample:   {device_time_per_call(neck_head, ()):7.3f} ms")
+    print(f"neck+head+upsample:   "
+          f"{device_time_per_call(neck_head, (params, tokens, pv)):7.3f} ms",
+          flush=True)
 
-    def prompts():
+    def prompts(rgb, prev, pts):
         c = coord_features(mcfg, rgb, prev, pts)
         v = ppue_click(pts, mcfg.ppue, num_max_points=24)
         return jnp.sum(c) + jnp.sum(v)
-    print(f"disks+ppue:           {device_time_per_call(prompts, ()):7.3f} ms")
+    print(f"disks+ppue:           "
+          f"{device_time_per_call(prompts, (rgb, prev, pts)):7.3f} ms",
+          flush=True)
 
     m = jnp.zeros((448, 448), bool).at[100:300, 100:300].set(True)
 
-    def edt():
+    def edt(m):
         a, b = squared_edt_pair(m, ~m)
         return jnp.max(a) + jnp.max(b)
-    print(f"edt pair:             {device_time_per_call(edt, ()):7.3f} ms")
+    print(f"edt pair:             "
+          f"{device_time_per_call(edt, (m,)):7.3f} ms", flush=True)
 
-    def full():
+    def full(params, img, pts):
         return vpu_forward(params, mcfg, img, pts, prompt_type=0)["instances"]
-    print(f"full forward (b2):    {device_time_per_call(full, ()):7.3f} ms")
+    print(f"full forward (b2):    "
+          f"{device_time_per_call(full, (params, img, pts)):7.3f} ms",
+          flush=True)
 
     pcfg = PredictorConfig(model=mcfg)
     rng = np.random.default_rng(0)
@@ -74,9 +85,6 @@ def main() -> None:
     gt = np.zeros((448, 448), np.float32)
     gt[96:352, 128:320] = 1.0
     state = init_session(image, gt, 24, (448, 448))
-
-    import functools
-    import time
 
     def scan_k(k):
         @jax.jit
@@ -93,7 +101,7 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return min(ts)
     t = (scan_k(24) - scan_k(4)) / 20 * 1e3
-    print(f"click_step (total):   {t:7.3f} ms")
+    print(f"click_step (total):   {t:7.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -150,3 +150,136 @@ def test_pos_embed_interpolation_matches_torch():
     ref = ref.permute(0, 2, 3, 1).reshape(1, 35, 8).numpy()
     np.testing.assert_allclose(ours[:, 1:], ref, atol=1e-5)
     np.testing.assert_allclose(ours[:, :1], pos[:, :1])
+
+
+def make_reference_vpu_sd(cfg, seed=0):
+    """Synthetic state dict with the reference VitMultiGaussianVector_ed_Model
+    parameter names/shapes (is_vpu_model.py:165-186 + SimpleFPN + head)."""
+    r = np.random.default_rng(seed)
+    d = cfg.backbone.embed_dim
+    gh, gw = cfg.backbone.grid_size
+    ph, pw = cfg.backbone.patch_size
+    sd = {}
+
+    def lin(name, i, o, bias=True):
+        sd[f"{name}.weight"] = r.normal(0, 0.02, (o, i)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = r.normal(0, 0.02, (o,)).astype(np.float32)
+
+    def ln(name, c):
+        sd[f"{name}.weight"] = np.ones((c,), np.float32)
+        sd[f"{name}.bias"] = np.zeros((c,), np.float32)
+
+    def conv(name, i, o, k=1, bias=True):
+        sd[f"{name}.weight"] = r.normal(0, 0.02, (o, i, k, k)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+
+    def deconv(name, i, o):
+        sd[f"{name}.weight"] = r.normal(0, 0.02, (i, o, 2, 2)).astype(np.float32)
+        sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+
+    def attn(name, dim, internal):
+        for part in ("q_proj", "k_proj", "v_proj"):
+            lin(f"{name}.{part}", dim, internal)
+        lin(f"{name}.out_proj", internal, dim)
+
+    # backbone (MAE ViT names)
+    sd["backbone.patch_embed.proj.weight"] = r.normal(
+        0, 0.02, (d, 3, ph, pw)).astype(np.float32)
+    sd["backbone.patch_embed.proj.bias"] = np.zeros((d,), np.float32)
+    sd["backbone.pos_embed"] = r.normal(
+        0, 0.02, (1, gh * gw + 1, d)).astype(np.float32)
+    sd["backbone.cls_token"] = np.zeros((1, 1, d), np.float32)
+    for i in range(cfg.backbone.depth):
+        b = f"backbone.blocks.{i}"
+        ln(f"{b}.norm1", d)
+        lin(f"{b}.attn.qkv", d, 3 * d)
+        lin(f"{b}.attn.proj", d, d)
+        ln(f"{b}.norm2", d)
+        lin(f"{b}.mlp.fc1", d, int(d * cfg.backbone.mlp_ratio))
+        lin(f"{b}.mlp.fc2", int(d * cfg.backbone.mlp_ratio), d)
+
+    conv("patch_embed_coords.proj", 3, d, k=ph)
+    sd["pe_layer.positional_encoding_gaussian_matrix"] = r.normal(
+        0, 1, (2, d // 2)).astype(np.float32)
+    for i in range(4):
+        sd[f"point_embeddings.{i}.weight"] = r.normal(
+            0, 1, (1, d)).astype(np.float32)
+    sd["not_a_point_embed.weight"] = r.normal(0, 1, (1, d)).astype(np.float32)
+
+    # neck
+    nc = cfg.neck
+    lin("neck.ffn_layer.lin1", nc.prompt_dim, nc.hide_dim * 2)
+    lin("neck.ffn_layer.lin2", nc.hide_dim * 2, d)
+    tw = nc.two_way
+    internal = tw.embedding_dim // tw.attention_downsample_rate
+    for i in range(tw.depth):
+        b = f"neck.att.layers.{i}"
+        attn(f"{b}.self_attn", d, d)
+        ln(f"{b}.norm1", d)
+        attn(f"{b}.cross_attn_token_to_image", d, internal)
+        ln(f"{b}.norm2", d)
+        lin(f"{b}.mlp.lin1", d, tw.mlp_dim)
+        lin(f"{b}.mlp.lin2", tw.mlp_dim, d)
+        ln(f"{b}.norm3", d)
+        attn(f"{b}.cross_attn_image_to_token", d, internal)
+        ln(f"{b}.norm4", d)
+    attn("neck.att.final_attn_token_to_image", d, internal)
+    ln("neck.att.norm_final_attn", d)
+
+    deconv("neck.down_4.0", d, nc.down4_chan)
+    ln("neck.down_4.1", nc.down4_chan)
+    deconv("neck.down_4.3", nc.down4_chan, nc.down4_chan // 2)
+    ln("neck.down_4.4", nc.down4_chan // 2)
+    conv("neck.down_4.5", nc.down4_chan // 2, nc.out_dims[0])
+    ln("neck.down_4.6", nc.out_dims[0])
+    deconv("neck.down_8.0", d, nc.down8_chan)
+    ln("neck.down_8.1", nc.down8_chan)
+    conv("neck.down_8.2", nc.down8_chan, nc.out_dims[1])
+    ln("neck.down_8.3", nc.out_dims[1])
+    conv("neck.down_16.0", d, nc.out_dims[2])
+    ln("neck.down_16.1", nc.out_dims[2])
+    conv("neck.down_32.0", d, nc.down32_chan, k=2)
+    ln("neck.down_32.1", nc.down32_chan)
+    conv("neck.down_32.2", nc.down32_chan, nc.out_dims[3])
+    ln("neck.down_32.3", nc.out_dims[3])
+
+    # head
+    hc = cfg.head
+    for i, ic in enumerate(hc.in_channels):
+        conv(f"head.convs.{i}.conv", ic, hc.out_channels)
+    conv("head.fusion_conv.conv", hc.out_channels * 4, hc.out_channels)
+    conv("head.conv_seg", hc.channels, 1)
+    sd["head.logit_scale"] = np.asarray(np.log(1 / 0.07), np.float32)
+    lin("head.ffn_layer.lin1", hc.d_model, hc.d_model * 2)
+    lin("head.ffn_layer.lin2", hc.d_model * 2, hc.out_channels)
+    conv("head_aux", 128, 1)
+    return sd
+
+
+def test_vpu_checkpoint_ingest_structure_and_forward():
+    """convert_vpu_checkpoint produces exactly init_vpu's pytree (same keys,
+    same shapes) and the converted params run the forward."""
+    from pvpuformer_tpu.models.vpu import init_vpu, vpu_forward
+    from pvpuformer_tpu.utils.serialization import flatten_tree
+    from pvpuformer_tpu.utils.torch_ingest import convert_vpu_checkpoint
+
+    cfg = tiny_cfg()
+    sd = make_reference_vpu_sd(cfg)
+    ours = convert_vpu_checkpoint(sd, cfg)
+    want = init_vpu(jax.random.key(0), cfg)
+
+    f_ours = flatten_tree(ours)
+    f_want = flatten_tree(want)
+    assert set(f_ours) == set(f_want), (
+        sorted(set(f_want) - set(f_ours))[:5],
+        sorted(set(f_ours) - set(f_want))[:5])
+    for k in f_want:
+        assert f_ours[k].shape == tuple(np.shape(f_want[k])), \
+            (k, f_ours[k].shape, np.shape(f_want[k]))
+
+    img = jnp.zeros((1, 64, 64, 4))
+    pts = jnp.full((1, 12, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
+    out = vpu_forward(ours, cfg, img, pts, prompt_type=0)
+    assert np.isfinite(np.asarray(out["instances"])).all()
