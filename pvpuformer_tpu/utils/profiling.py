@@ -54,11 +54,14 @@ class LatencyRecorder:
 def device_time_per_call(fn: Callable[..., jnp.ndarray], args: Sequence,
                          k_lo: int = 4, k_hi: int = 24,
                          reps: int = 3) -> float:
-    """Milliseconds per fn(*args) call, measured on device.
+    """Milliseconds per fn(c, *args) call, measured on device.
 
-    fn must return a scalar-reducible array; it is chained k times inside one
-    jit (carry forces sequencing) and two chain lengths are differenced so
-    constant dispatch/readback overhead cancels.
+    fn receives a f32 scalar carry `c` as its FIRST argument and MUST mix it
+    into its computation (e.g. `x + c.astype(x.dtype)`), otherwise XLA hoists
+    the loop-invariant body out of the timing scan and the measurement reads
+    ~0. Inputs must be passed as arguments — closed-over device arrays become
+    HLO constants and get constant-folded at compile time. Two chain lengths
+    are differenced so dispatch/readback overhead cancels.
     """
     assert args, ("pass inputs as ARGUMENTS: closed-over device arrays "
                   "become HLO constants and XLA constant-folds the whole "
@@ -68,9 +71,7 @@ def device_time_per_call(fn: Callable[..., jnp.ndarray], args: Sequence,
         @jax.jit
         def g(*a):
             def body(c, _):
-                out = fn(*a)
-                # carry must genuinely depend on out (DCE) without changing
-                # the next iteration's inputs
+                out = fn(c, *a)
                 return c * 0.5 + jnp.sum(out.astype(jnp.float32)) * 1e-30, None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
             return c

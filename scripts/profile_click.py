@@ -42,14 +42,16 @@ def main() -> None:
     tokens = vpu_backbone_embed(params, mcfg, rgb, coords)
     pv = ppue_click(pts, mcfg.ppue, num_max_points=24).astype(jnp.bfloat16)
 
-    def bb(params, rgb, coords):
-        return vpu_backbone_embed(params, mcfg, rgb, coords)
+    def bb(c, params, rgb, coords):
+        return vpu_backbone_embed(params, mcfg, rgb + c.astype(rgb.dtype),
+                                  coords)
     print(f"backbone (b2):        "
           f"{device_time_per_call(bb, (params, rgb, coords)):7.3f} ms",
           flush=True)
 
-    def neck_head(params, tokens, pv):
-        ms, q = neck_forward(params["neck"], mcfg.neck, tokens, pv,
+    def neck_head(c, params, tokens, pv):
+        ms, q = neck_forward(params["neck"], mcfg.neck,
+                             tokens + c.astype(tokens.dtype), pv,
                              mcfg.backbone.grid_size)
         seg, _ = head_forward(params["head"], mcfg.head, ms, q)
         return bilinear_resize(seg, 448, 448, align_corners=True)
@@ -57,24 +59,27 @@ def main() -> None:
           f"{device_time_per_call(neck_head, (params, tokens, pv)):7.3f} ms",
           flush=True)
 
-    def prompts(rgb, prev, pts):
-        c = coord_features(mcfg, rgb, prev, pts)
+    def prompts(c, rgb, prev, pts):
+        pts = pts + c
+        cf = coord_features(mcfg, rgb, prev, pts)
         v = ppue_click(pts, mcfg.ppue, num_max_points=24)
-        return jnp.sum(c) + jnp.sum(v)
+        return jnp.sum(cf) + jnp.sum(v)
     print(f"disks+ppue:           "
           f"{device_time_per_call(prompts, (rgb, prev, pts)):7.3f} ms",
           flush=True)
 
     m = jnp.zeros((448, 448), bool).at[100:300, 100:300].set(True)
 
-    def edt(m):
+    def edt(c, m):
+        m = m ^ (c > 1e30)
         a, b = squared_edt_pair(m, ~m)
         return jnp.max(a) + jnp.max(b)
     print(f"edt pair:             "
           f"{device_time_per_call(edt, (m,)):7.3f} ms", flush=True)
 
-    def full(params, img, pts):
-        return vpu_forward(params, mcfg, img, pts, prompt_type=0)["instances"]
+    def full(c, params, img, pts):
+        return vpu_forward(params, mcfg, img + c.astype(img.dtype), pts,
+                           prompt_type=0)["instances"]
     print(f"full forward (b2):    "
           f"{device_time_per_call(full, (params, img, pts)):7.3f} ms",
           flush=True)
