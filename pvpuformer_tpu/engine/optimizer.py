@@ -153,3 +153,14 @@ def make_optimizer(params, opt_name: str = "adam", lr: float = 5e-5,
     else:
         chain.append(optax.scale(-lr))
     return optax.chain(*chain)
+
+
+def with_grad_accumulation(tx: optax.GradientTransformation,
+                           every: int) -> optax.GradientTransformation:
+    """Gradient accumulation (trainer.py:188-202 `accumulate_grads`): updates
+    apply every `every` steps, gradients average in between. The MultiStepLR
+    boundaries count optimizer updates, matching the reference's per-epoch
+    scheduler stepping."""
+    if every <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=every)

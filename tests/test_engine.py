@@ -290,3 +290,27 @@ def test_itermask_training_mode():
                                   cfg=cfg, num_iters=2)
     assert np.isfinite(float(logs["loss"]))
     assert "instance_loss" in logs and "instance_aux3_loss_0_1" not in logs
+
+
+def test_grad_accumulation_wrapper():
+    import optax
+    from pvpuformer_tpu.engine.optimizer import (make_optimizer,
+                                                 with_grad_accumulation)
+    params = {"w": jnp.zeros((4,))}
+    tx = with_grad_accumulation(make_optimizer(params, "adam", lr=1.0), 2)
+    state = tx.init(params)
+    g = {"w": jnp.ones((4,))}
+    # first micro-step: no update yet
+    up, state = tx.update(g, state, params)
+    assert np.allclose(np.asarray(up["w"]), 0.0)
+    up, state = tx.update(g, state, params)
+    assert np.abs(np.asarray(up["w"])).max() > 0
+
+
+def test_dist_utils():
+    from pvpuformer_tpu.parallel.dist import (get_rank, get_world_size,
+                                              synchronize, reduce_metrics)
+    assert get_rank() == 0 and get_world_size() == 1
+    synchronize()
+    out = reduce_metrics({"loss": 2.0, "iou": 0.5})
+    assert out == {"loss": 2.0, "iou": 0.5} or np.isclose(out["loss"], 2.0)
