@@ -37,9 +37,11 @@ def main() -> None:
     from pvpuformer_tpu.inference.predictor import (PredictorConfig,
                                                     click_scan, init_session)
 
+    from pvpuformer_tpu.nn import cast_params
+
     platform = jax.devices()[0].platform
     mcfg = vpu_base_config(dtype=jnp.bfloat16)
-    params = init_vpu(jax.random.key(0), mcfg)
+    params = cast_params(init_vpu(jax.random.key(0), mcfg), jnp.bfloat16)
     pcfg = PredictorConfig(model=mcfg, target_size=(448, 448), with_flip=True)
 
     rng = np.random.default_rng(0)

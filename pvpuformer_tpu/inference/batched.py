@@ -42,7 +42,8 @@ class BatchedEvaluator:
     """Evaluate a dataset B sessions at a time."""
 
     def __init__(self, params, cfg: PredictorConfig, batch_size: int = 8):
-        self.params = params
+        from ..nn import cast_params
+        self.params = cast_params(params, cfg.model.dtype)
         self.cfg = cfg
         self.batch_size = batch_size
 

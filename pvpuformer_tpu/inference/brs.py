@@ -129,7 +129,8 @@ class FeatureBRSPredictor:
     def __init__(self, params, cfg: PredictorConfig, reg_weight: float = 1e-3,
                  reg_bias_weight: float = 10.0, max_iters: int = 20,
                  optimize_after_n_clicks: int = 1, min_iou_diff: float = 0.01):
-        self.params = params
+        from ..nn import cast_params
+        self.params = cast_params(params, cfg.model.dtype)
         self.cfg = cfg
         self.reg_weight = reg_weight
         self.reg_bias_weight = reg_bias_weight

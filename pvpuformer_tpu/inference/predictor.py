@@ -377,7 +377,9 @@ class Predictor:
     """
 
     def __init__(self, params, cfg: PredictorConfig):
-        self.params = params
+        from .. import nn as _nn
+        # store params in the compute dtype once (see nn.cast_params)
+        self.params = _nn.cast_params(params, cfg.model.dtype)
         self.cfg = cfg
         self.state: Optional[SessionState] = None
         self._undo: list = []

@@ -254,3 +254,19 @@ def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarra
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def cast_params(params: Params, dtype) -> Params:
+    """Cast float parameter leaves to `dtype` once, up front.
+
+    The apply functions cast weights to the activation dtype per call; with
+    f32 masters and bf16 activations that re-converts every parameter every
+    forward (~0.6 ms of pure HBM traffic per ViT-B click on v5e). Inference
+    paths call this at predictor construction; training keeps f32 masters.
+    """
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)
