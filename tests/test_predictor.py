@@ -214,3 +214,32 @@ def test_sam_compat_gating():
     if not sam_available():
         with _pytest.raises(ImportError):
             SamCompatPredictor()
+
+
+def test_golden_click_trajectory():
+    """Golden-file regression of the fused click loop (SURVEY §4 item 2):
+    fixed weights + image -> the 5-click trajectory (coords, orders, IoUs)
+    must not drift. Regenerate tests/golden_click_loop.json deliberately if
+    semantics change (document why in the commit)."""
+    import json
+    from pathlib import Path
+    import numpy as np
+    import jax
+    from pvpuformer_tpu.models.vpu import init_vpu
+    from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
+    from test_models import tiny_cfg
+
+    golden = json.load(open(Path(__file__).parent / "golden_click_loop.json"))
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), mcfg)
+    cfg = PredictorConfig(model=mcfg, target_size=(64, 64), min_crop_size=32)
+    pred = Predictor(params, cfg)
+    r = np.random.default_rng(7)
+    image = (r.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    gt = np.zeros((64, 64), np.float32)
+    gt[14:50, 18:46] = 1.0
+    pred.set_input(image, gt)
+    ious = [pred.next_click() for _ in range(5)]
+    np.testing.assert_allclose(ious, golden["ious"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pred.clicks),
+                               np.asarray(golden["clicks"]), atol=1e-4)
