@@ -55,6 +55,8 @@ class Trainer:
                  metrics: Optional[Sequence[AdaptiveIoU]] = None,
                  mesh=None, param_mode: str = "replicated",
                  tb_dir: Optional[str] = None,
+                 vis_dir: Optional[str] = None,
+                 image_dump_interval: int = 0,
                  log_every: int = 25, seed: int = 0):
         self.cfg = cfg
         self.tx = tx
@@ -65,6 +67,8 @@ class Trainer:
         self.metrics = list(metrics) if metrics is not None else [AdaptiveIoU()]
         self.val_metrics = [AdaptiveIoU() for _ in self.metrics]
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.vis_dir = Path(vis_dir) if vis_dir else None
+        self.image_dump_interval = image_dump_interval
         self.log_every = log_every
         self.seed = seed
         self.global_step = 0
@@ -124,6 +128,9 @@ class Trainer:
                                 epoch, i + 1, logs["loss"],
                                 (time.time() - t0) / (i + 1))
                 self._log_scalar("Losses/loss", logs["loss"])
+                if self.image_dump_interval > 0 and \
+                        self.global_step % self.image_dump_interval == 0:
+                    self._dump_visualization(batch)
 
         means = {k: v / max(count, 1) for k, v in sums.items()}
         means["AdaptiveIoU"] = self.metrics[0].get_epoch_value()
@@ -156,6 +163,37 @@ class Trainer:
         logger.info("val epoch %d: loss %.4f iou %.4f", epoch,
                     means.get("loss", float("nan")), means["AdaptiveIoU"])
         return means
+
+    def _dump_visualization(self, batch) -> None:
+        """Periodic qualitative panels (trainer.py:219-220,556-592): first
+        sample's image + gt blend + current prediction blend + clicks."""
+        if self.vis_dir is None or jax.process_index() != 0:
+            return
+        from ..models.registry import forward_for
+        from ..utils.vis import draw_with_blend_and_clicks
+
+        img = np.asarray(batch["image"][0])
+        gt = np.asarray(batch["instances"][0, :, :, 0])
+        pts = np.asarray(batch["points"][:1])
+        fwd = forward_for(self.cfg.model)
+        net_in = jnp.concatenate(
+            [jnp.asarray(batch["image"][:1]),
+             jnp.zeros_like(jnp.asarray(batch["instances"][:1]))], axis=-1)
+        out = fwd(self.params, self.cfg.model, net_in, jnp.asarray(pts))
+        pred = np.asarray(
+            jax.nn.sigmoid(out["instances"][0, :, :, 0].astype(jnp.float32)))
+
+        image_u8 = np.clip(img * 255, 0, 255).astype(np.uint8)
+        panel = np.concatenate([
+            draw_with_blend_and_clicks(image_u8, mask=(gt > 0.5).astype(int),
+                                       clicks_list=pts[0]),
+            draw_with_blend_and_clicks(image_u8,
+                                       mask=(pred > 0.5).astype(int) * 2),
+        ], axis=1)
+        self.vis_dir.mkdir(parents=True, exist_ok=True)
+        from PIL import Image
+        Image.fromarray(panel).save(
+            self.vis_dir / f"{self.global_step:06d}.jpg")
 
     # --------------------------------------------------------------- chkpoints
 

@@ -249,3 +249,53 @@ def convert_vpu_checkpoint(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
 def load_vpu_checkpoint(path, cfg) -> Dict[str, Any]:
     """One-call ingest of a reference VPU .pth ({state_dict, config})."""
     return convert_vpu_checkpoint(load_torch_state_dict(path), cfg)
+
+
+def convert_plainvit_checkpoint(sd: Dict[str, np.ndarray],
+                                cfg) -> Dict[str, Any]:
+    """SimpleClick PlainVitModel state dict -> our plainvit params
+    (is_plainvit_model.py:59-95: same ViT + coord patch-embed, SimpleFPN
+    without DMA, SegFormer head without P2CL). Published SimpleClick
+    checkpoints drop in through this map."""
+    params: Dict[str, Any] = {
+        "backbone": convert_mae_vit(sd, cfg.backbone, prefix="backbone."),
+        "patch_embed_coords": conv_to_patch_embed(
+            sd["patch_embed_coords.proj.weight"],
+            sd["patch_embed_coords.proj.bias"]),
+        "neck": {
+            "down4": {"deconv1": _deconv(sd, "neck.down_4.0"),
+                      "gn1": _gn(sd, "neck.down_4.1"),
+                      "deconv2": _deconv(sd, "neck.down_4.3"),
+                      "gn2": _gn(sd, "neck.down_4.4"),
+                      "conv": _conv(sd, "neck.down_4.5"),
+                      "gn3": _gn(sd, "neck.down_4.6")},
+            "down8": {"deconv": _deconv(sd, "neck.down_8.0"),
+                      "gn1": _gn(sd, "neck.down_8.1"),
+                      "conv": _conv(sd, "neck.down_8.2"),
+                      "gn2": _gn(sd, "neck.down_8.3")},
+            "down16": {"conv": _conv(sd, "neck.down_16.0"),
+                       "gn": _gn(sd, "neck.down_16.1")},
+            "down32": {"conv1": _conv(sd, "neck.down_32.0"),
+                       "gn1": _gn(sd, "neck.down_32.1"),
+                       "conv2": _conv(sd, "neck.down_32.2"),
+                       "gn2": _gn(sd, "neck.down_32.3")},
+        },
+    }
+    n_scales = len(cfg.head.in_channels)
+    head: Dict[str, Any] = {
+        "convs": [_conv(sd, f"head.convs.{i}.conv") for i in range(n_scales)],
+        "fusion": _conv(sd, "head.fusion_conv.conv"),
+        "conv_seg": _conv(sd, "head.conv_seg"),
+    }
+    if "head.up_conv1.0.weight" in sd:
+        head["up1"] = {"deconv": _deconv(sd, "head.up_conv1.0"),
+                       "gn1": _gn(sd, "head.up_conv1.1"),
+                       "conv": _conv(sd, "head.up_conv1.2"),
+                       "gn2": _gn(sd, "head.up_conv1.3")}
+    if "head.up_conv2.0.weight" in sd:
+        head["up2"] = {"deconv": _deconv(sd, "head.up_conv2.0"),
+                       "gn1": _gn(sd, "head.up_conv2.1"),
+                       "conv": _conv(sd, "head.up_conv2.2"),
+                       "gn2": _gn(sd, "head.up_conv2.3")}
+    params["head"] = head
+    return params

@@ -164,3 +164,65 @@ def test_loader_sharding_covers_batch():
     # different shards
     assert not np.allclose(b0["image"], b1["image"])
     assert len(l0) == 2
+
+
+def test_cocolvis_disk_format(tmp_path):
+    """End-to-end record assembly from the on-disk CocoLvis layout
+    (hannotation.pickle + masks/<id>.pickle + images/<id>.jpg)."""
+    import pickle
+    from PIL import Image
+    from pvpuformer_tpu.data import CocoLvisDataset, MultiPointSampler
+
+    root = tmp_path / "cocolvis"
+    (root / "train" / "images").mkdir(parents=True)
+    (root / "train" / "masks").mkdir(parents=True)
+    r = np.random.default_rng(0)
+    anno = {}
+    for iid in ("a", "b"):
+        img = (r.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "train" / "images" / f"{iid}.jpg")
+        layer = np.zeros((48, 64), np.int32)
+        layer[8:24, 8:24] = 1
+        layer[30:44, 30:60] = 2
+        with open(root / "train" / "masks" / f"{iid}.pickle", "wb") as f:
+            pickle.dump(layer[:, :, None], f)
+        anno[iid] = {"num_instance_masks": 2,
+                     "objs_mapping": [(0, 1), (0, 2)]}
+    with open(root / "train" / "hannotation.pickle", "wb") as f:
+        pickle.dump(anno, f)
+
+    ds = CocoLvisDataset(root, split="train",
+                         points_sampler=MultiPointSampler(4, prob_gamma=0.8),
+                         epoch_len=4, min_object_area=10)
+    assert ds.get_samples_number() == 2
+    raw = ds.get_raw_sample(0)
+    assert len(raw.masks) == 2 and raw.masks[0].sum() == 16 * 16
+    rec = ds[0]
+    assert rec["image"].shape == (48, 64, 3)
+    assert rec["points"].shape == (8, 3)
+    assert rec["instances"].sum() > 0
+
+
+def test_sbd_disk_format(tmp_path):
+    from scipy.io import savemat
+    from PIL import Image
+    from pvpuformer_tpu.data import SBDTrainDataset, MultiPointSampler
+
+    root = tmp_path / "sbd"
+    (root / "img").mkdir(parents=True)
+    (root / "inst").mkdir(parents=True)
+    r = np.random.default_rng(0)
+    inst = np.zeros((32, 32), np.uint8)
+    inst[4:12, 4:12] = 1
+    inst[20:30, 20:30] = 2
+    Image.fromarray((r.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)).save(
+        root / "img" / "x.jpg")
+    # GTinst mat structure: GTinst.Segmentation
+    savemat(root / "inst" / "x.mat",
+            {"GTinst": np.array([[(inst,)]],
+                                dtype=[("Segmentation", object)])})
+    (root / "train.txt").write_text("x\n")
+    ds = SBDTrainDataset(root, split="train",
+                         points_sampler=MultiPointSampler(4, prob_gamma=0.8))
+    raw = ds.get_raw_sample(0)
+    assert len(raw.masks) == 2

@@ -314,3 +314,26 @@ def test_dist_utils():
     synchronize()
     out = reduce_metrics({"loss": 2.0, "iou": 0.5})
     assert out == {"loss": 2.0, "iou": 0.5} or np.isclose(out["loss"], 2.0)
+
+
+@pytest.mark.slow
+def test_bf16_training_and_vis_dump(tmp_path):
+    """Mixed precision (f32 masters, bf16 activations) trains finitely and
+    the periodic visualization dump writes panels (trainer.py:219,556-592)."""
+    from pvpuformer_tpu.data import SyntheticTrainDataset, Loader
+    from pvpuformer_tpu.engine.optimizer import make_optimizer
+    from pvpuformer_tpu.engine.trainer import Trainer
+    from pvpuformer_tpu.models.vpu import init_vpu
+
+    mcfg = tiny_cfg().replace(dtype=jnp.bfloat16)
+    cfg = TrainConfig(model=mcfg, remat=False)
+    params = init_vpu(jax.random.key(0), mcfg)
+    tx = make_optimizer(params, "adam", lr=1e-3)
+    ds = SyntheticTrainDataset(n_samples=8, hw=(64, 64), epoch_len=8)
+    loader = Loader(ds, batch_size=8, num_workers=1)
+    tr = Trainer(params, cfg, tx, loader, vis_dir=str(tmp_path / "vis"),
+                 image_dump_interval=1, checkpoint_dir=None)
+    means = tr.training(0)
+    assert np.isfinite(means["loss"])
+    dumps = list((tmp_path / "vis").glob("*.jpg"))
+    assert dumps, "no visualization panels written"

@@ -283,3 +283,35 @@ def test_vpu_checkpoint_ingest_structure_and_forward():
     pts = jnp.full((1, 12, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
     out = vpu_forward(ours, cfg, img, pts, prompt_type=0)
     assert np.isfinite(np.asarray(out["instances"])).all()
+
+
+def test_plainvit_checkpoint_ingest_structure():
+    from pvpuformer_tpu.models.plainvit import (PlainVitConfig, init_plainvit,
+                                                plainvit_forward)
+    from pvpuformer_tpu.models.vit import ViTConfig
+    from pvpuformer_tpu.models.fpn import NeckConfig
+    from pvpuformer_tpu.models.two_way import TwoWayConfig
+    from pvpuformer_tpu.models.seg_head import HeadConfig
+    from pvpuformer_tpu.utils.serialization import flatten_tree
+    from pvpuformer_tpu.utils.torch_ingest import convert_plainvit_checkpoint
+
+    cfg = PlainVitConfig(
+        backbone=ViTConfig(img_size=(64, 64), patch_size=(16, 16),
+                           embed_dim=64, depth=4, num_heads=2),
+        neck=NeckConfig(in_dim=64, out_dims=(16, 32, 48, 64),
+                        img_size=(64, 64), hide_dim=64,
+                        two_way=TwoWayConfig(depth=3, embedding_dim=64,
+                                             num_heads=4, mlp_dim=64)),
+        head=HeadConfig(in_channels=(16, 32, 48, 64), channels=32,
+                        d_model=64, ed_loss=False))
+    # reuse the VPU synthetic state dict generator and strip the DMA parts
+    vcfg = tiny_cfg()
+    sd = make_reference_vpu_sd(vcfg)
+    # plainvit coord patch embed uses the same name
+    ours = convert_plainvit_checkpoint(sd, cfg)
+    want = init_plainvit(jax.random.key(0), cfg)
+    assert set(flatten_tree(ours)) == set(flatten_tree(want))
+    img = jnp.zeros((1, 64, 64, 4))
+    pts = jnp.full((1, 12, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
+    out = plainvit_forward(ours, cfg, img, pts)
+    assert np.isfinite(np.asarray(out["instances"])).all()
