@@ -52,6 +52,11 @@ def parse_args():
                         "0 = sequential, one dispatch per session)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--parity", action="store_true",
+                   help="bit-comparability mode vs the torch reference: "
+                        "f32 activations + 'highest' matmul precision "
+                        "(full-f32 MXU passes) — slower, for NoC parity "
+                        "checks with converted reference weights")
     p.add_argument("--logs-path", default="./experiments/evaluation_logs")
     p.add_argument("--config-path", default=None,
                    help="config.yml with dataset paths (default: repo root)")
@@ -118,6 +123,11 @@ def main() -> None:
     root = Path(__file__).resolve().parent.parent
     cfg_path = args.config_path or (root / "config.yml")
     paths = load_config_file(cfg_path) if Path(cfg_path).exists() else {}
+
+    if args.parity:
+        import jax
+        args.dtype = "float32"
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     params, mcfg = build_model(args)
     target_iou = 1.01 if args.iou_analysis else args.target_iou
