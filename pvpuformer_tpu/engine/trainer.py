@@ -67,6 +67,7 @@ class Trainer:
         self.metrics = list(metrics) if metrics is not None else [AdaptiveIoU()]
         self.val_metrics = [AdaptiveIoU() for _ in self.metrics]
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.param_mode = param_mode
         self.vis_dir = Path(vis_dir) if vis_dir else None
         self.image_dump_interval = image_dump_interval
         self.log_every = log_every
@@ -214,7 +215,7 @@ class Trainer:
         params, cfg, step, extra = load_checkpoint(path,
                                                    opt_state_like=self.opt_state)
         with self.mesh:
-            self.params = shard_params(params, self.mesh)
+            self.params = shard_params(params, self.mesh, self.param_mode)
             if "opt_state" in extra:
                 self.opt_state = extra["opt_state"]
         self.global_step = step
