@@ -123,13 +123,104 @@ def _scale_bias_grad(params, cfg: VPUConfig, tokens, pv, opt, pos, neg, *,
                                             th, tw)
 
 
+# --- f-BRS-B: scale/bias on the neck's multi-scale maps ---------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _neck_feats(params, cfg: VPUConfig, tokens, pv):
+    ms, q_out = neck_forward(params["neck"], cfg.neck, tokens, pv,
+                             cfg.backbone.grid_size)
+    return tuple(ms), q_out
+
+
+def _neck_objective(params, cfg: VPUConfig, ms, q_out, opt, pos, neg,
+                    reg_weight, reg_bias_weight, with_flip, th, tw):
+    dims = [m.shape[-1] for m in ms]
+    total = sum(dims)
+    scale_all, bias_all = opt[:total], opt[total:]
+    reg = reg_weight * (jnp.sum(scale_all ** 2)
+                        + reg_bias_weight * jnp.sum(bias_all ** 2))
+    mod = []
+    off = 0
+    for m, d in zip(ms, dims):
+        s = scale_all[off:off + d]
+        b = bias_all[off:off + d]
+        mod.append((m.astype(jnp.float32) * (1.0 + s) + b).astype(m.dtype))
+        off += d
+    seg, _ = head_forward(params["head"], cfg.head, list(mod), q_out)
+    logits = bilinear_resize(seg, th, tw, align_corners=True)
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+    if with_flip:
+        probs = 0.5 * (probs[:1] + probs[1:, :, ::-1])
+        pos, neg = pos[:1], neg[:1]
+    loss, fmax_pos, fmax_neg = brs_mask_loss(probs, pos, neg)
+    return loss + reg, (logits, fmax_pos, fmax_neg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "reg_weight",
+                                             "reg_bias_weight", "with_flip",
+                                             "th", "tw"))
+def _neck_grad(params, cfg: VPUConfig, ms, q_out, opt, pos, neg, *,
+               reg_weight, reg_bias_weight, with_flip, th, tw):
+    return jax.value_and_grad(_neck_objective, argnums=4, has_aux=True)(
+        params, cfg, ms, q_out, opt, pos, neg, reg_weight, reg_bias_weight,
+        with_flip, th, tw)
+
+
+# --- f-BRS-C: scale/bias on the head's fused features ------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _head_fused(params, cfg: VPUConfig, tokens, pv):
+    from ..models.seg_head import _fuse
+    ms, q_out = neck_forward(params["neck"], cfg.neck, tokens, pv,
+                             cfg.backbone.grid_size)
+    return _fuse(params["head"], cfg.head, ms)
+
+
+def _head_objective(params, cfg: VPUConfig, fused, opt, pos, neg,
+                    reg_weight, reg_bias_weight, with_flip, th, tw):
+    from .. import nn as _nn
+    d = fused.shape[-1]
+    scale, bias = opt[:d], opt[d:]
+    reg = reg_weight * (jnp.sum(scale ** 2)
+                        + reg_bias_weight * jnp.sum(bias ** 2))
+    mod = (fused.astype(jnp.float32) * (1.0 + scale) + bias).astype(fused.dtype)
+    seg = _nn.conv1x1(params["head"]["conv_seg"], mod)
+    logits = bilinear_resize(seg, th, tw, align_corners=True)
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+    if with_flip:
+        probs = 0.5 * (probs[:1] + probs[1:, :, ::-1])
+        pos, neg = pos[:1], neg[:1]
+    loss, fmax_pos, fmax_neg = brs_mask_loss(probs, pos, neg)
+    return loss + reg, (logits, fmax_pos, fmax_neg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "reg_weight",
+                                             "reg_bias_weight", "with_flip",
+                                             "th", "tw"))
+def _head_grad(params, cfg: VPUConfig, fused, opt, pos, neg, *,
+               reg_weight, reg_bias_weight, with_flip, th, tw):
+    return jax.value_and_grad(_head_objective, argnums=3, has_aux=True)(
+        params, cfg, fused, opt, pos, neg, reg_weight, reg_bias_weight,
+        with_flip, th, tw)
+
+
 class FeatureBRSPredictor:
-    """f-BRS over backbone tokens; drop-in for Predictor in the eval loop."""
+    """f-BRS; drop-in for Predictor in the eval loop.
+
+    `insertion` picks where the optimized scale/bias enters (the reference's
+    -A/-B/-C insertion modes, brs.py:55-68, mapped to the VPU architecture):
+      * "tokens" (A): backbone tokens — neck+head re-run per L-BFGS iter;
+      * "neck"   (B): the 4 multi-scale neck maps — head re-runs per iter;
+      * "head"   (C): the head's fused features — only cls conv re-runs
+        (cheapest per-iteration cost, smallest capacity).
+    """
 
     def __init__(self, params, cfg: PredictorConfig, reg_weight: float = 1e-3,
                  reg_bias_weight: float = 10.0, max_iters: int = 20,
-                 optimize_after_n_clicks: int = 1, min_iou_diff: float = 0.01):
+                 optimize_after_n_clicks: int = 1, min_iou_diff: float = 0.01,
+                 insertion: str = "tokens"):
         from ..nn import cast_params
+        assert insertion in ("tokens", "neck", "head"), insertion
         self.params = cast_params(params, cfg.model.dtype)
         self.cfg = cfg
         self.reg_weight = reg_weight
@@ -137,6 +228,7 @@ class FeatureBRSPredictor:
         self.max_iters = max_iters
         self.optimize_after_n_clicks = optimize_after_n_clicks
         self.min_iou_diff = min_iou_diff
+        self.insertion = insertion
         self.state: Optional[SessionState] = None
         self.opt_data: Optional[np.ndarray] = None
         self._undo = []
@@ -188,14 +280,31 @@ class FeatureBRSPredictor:
             crop = jnp.concatenate([crop, crop[:, :, ::-1, :]], axis=0)
         pts = _transform_points(points, roi, (th, tw), cfg.with_flip)
 
-        # 3. backbone once per click
+        # 3. run the network up to the insertion point ONCE per click
         tokens, pv = _backbone_tokens(self.params, cfg.model, crop, pts)
         pos, neg = click_maps(pts, th, tw)
 
+        kwargs = dict(reg_weight=self.reg_weight,
+                      reg_bias_weight=self.reg_bias_weight,
+                      with_flip=cfg.with_flip, th=th, tw=tw)
+        if self.insertion == "tokens":
+            residual = (tokens, pv)
+            grad_fn = _scale_bias_grad
+            opt_size = 2 * tokens.shape[-1]
+        elif self.insertion == "neck":
+            ms, q_out = _neck_feats(self.params, cfg.model, tokens, pv)
+            residual = (ms, q_out)
+            grad_fn = _neck_grad
+            opt_size = 2 * sum(m.shape[-1] for m in ms)
+        else:
+            fused = _head_fused(self.params, cfg.model, tokens, pv)
+            residual = (fused,)
+            grad_fn = _head_grad
+            opt_size = 2 * fused.shape[-1]
+
         # 4. L-BFGS over (scale, bias)
-        d = tokens.shape[-1]
-        if self.opt_data is None or self.opt_data.size != 2 * d:
-            self.opt_data = np.zeros((2 * d,), np.float32)
+        if self.opt_data is None or self.opt_data.size != opt_size:
+            self.opt_data = np.zeros((opt_size,), np.float32)
 
         num_clicks = int(st.click_count)
         if num_clicks >= self.optimize_after_n_clicks:
@@ -204,11 +313,8 @@ class FeatureBRSPredictor:
 
             def functor(x):
                 xj = jnp.asarray(x, jnp.float32)
-                (loss, (logits, fp_, fn_)), grad = _scale_bias_grad(
-                    self.params, cfg.model, tokens, pv, xj, pos, neg,
-                    reg_weight=self.reg_weight,
-                    reg_bias_weight=self.reg_bias_weight,
-                    with_flip=cfg.with_flip, th=th, tw=tw)
+                (loss, (logits, fp_, fn_)), grad = grad_fn(
+                    self.params, cfg.model, *residual, xj, pos, neg, **kwargs)
                 f_val = float(loss)
                 if f_val < best["loss"]:
                     best["loss"] = f_val
@@ -233,12 +339,10 @@ class FeatureBRSPredictor:
             self.opt_data = best["x"].astype(np.float32)
 
         # 5. final forward with the optimized scale/bias (jitted; the extra
-        # grad computation is dwarfed by neck+head)
+        # grad computation is dwarfed by the re-run trunk)
         opt = jnp.asarray(self.opt_data, jnp.float32)
-        (_, (logits, _, _)), _ = _scale_bias_grad(
-            self.params, cfg.model, tokens, pv, opt, pos, neg,
-            reg_weight=self.reg_weight, reg_bias_weight=self.reg_bias_weight,
-            with_flip=cfg.with_flip, th=th, tw=tw)
+        (_, (logits, _, _)), _ = grad_fn(
+            self.params, cfg.model, *residual, opt, pos, neg, **kwargs)
         if cfg.with_flip:
             logits = 0.5 * (logits[:1] + logits[1:, :, ::-1, :])
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
@@ -388,7 +492,10 @@ def get_predictor(params, cfg: PredictorConfig, brs_mode: str = "NoBRS",
     mode = brs_mode.lower()
     if mode == "nobrs":
         return Predictor(params, cfg)
-    if mode in ("f-brs-a", "f-brs-b", "f-brs-c", "f-brs"):
+    insertion = {"f-brs-a": "tokens", "f-brs": "tokens",
+                 "f-brs-b": "neck", "f-brs-c": "head"}.get(mode)
+    if insertion is not None:
+        brs_kwargs.setdefault("insertion", insertion)
         return FeatureBRSPredictor(params, cfg, **brs_kwargs)
     if mode in ("rgb-brs", "input-brs"):
         return InputBRSPredictor(params, cfg, **brs_kwargs)

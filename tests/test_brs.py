@@ -1,5 +1,6 @@
 """BRS predictors: click-consistency loss, f-BRS and RGB-BRS sessions."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -71,3 +72,17 @@ def test_factory_nobrs():
     params = init_vpu(jax.random.key(0), mcfg)
     cfg = PredictorConfig(model=mcfg, target_size=(64, 64))
     assert isinstance(get_predictor(params, cfg, "NoBRS"), Predictor)
+
+
+@pytest.mark.parametrize("mode,ins", [("f-BRS-B", "neck"),
+                                      ("f-BRS-C", "head")])
+def test_feature_brs_insertion_variants(mode, ins):
+    import pytest as _p
+    pred, gt = _session(mode)
+    assert pred.insertion == ins
+    iou = pred.next_click()
+    assert np.isfinite(iou)
+    if ins == "neck":
+        assert pred.opt_data.shape == (2 * (16 + 32 + 48 + 64),)
+    else:
+        assert pred.opt_data.shape == (2 * 32,)
