@@ -63,9 +63,18 @@ def _round_losses(cfg: TrainConfig, out: Dict[str, jnp.ndarray],
                   logs: Dict[str, jnp.ndarray], k: int) -> jnp.ndarray:
     """The three configured losses for one round (trainer.py:399-419)."""
     total = jnp.float32(0.0)
-    nfl = jnp.mean(L.normalized_focal_loss(
-        out["instances"], gt, alpha=cfg.nfl_alpha, gamma=cfg.nfl_gamma))
+    nfl_v, nfl_aux = L.normalized_focal_loss(
+        out["instances"], gt, alpha=cfg.nfl_alpha, gamma=cfg.nfl_gamma,
+        with_aux=True)
+    nfl = jnp.mean(nfl_v)
     logs[f"instance_loss_{k}_{int(w)}"] = nfl
+    # NFL normalizer diagnostics feeding the host EMA logger
+    # (losses.py:63-71 _k_sum/_m_max, logged at trainer.py:215-217)
+    valid = nfl_aux["no_ignore"]
+    logs[f"nfl_mult_mean_{k}"] = jnp.sum(
+        jnp.where(valid, nfl_aux["sample_mult"], 0.0)) / \
+        jnp.maximum(jnp.sum(valid), 1)
+    logs[f"nfl_beta_pmax_{k}"] = jnp.mean(nfl_aux["beta_pmax"])
     total += cfg.instance_loss_weight * nfl * w
 
     dice = jnp.mean(L.dice_loss(out["instances"], gt, use_sigmoid=True,

@@ -62,6 +62,9 @@ def parse_args():
                    help="config.yml with dataset paths (default: repo root)")
     p.add_argument("--limit", type=int, default=0,
                    help="evaluate only the first N samples (smoke runs)")
+    p.add_argument("--profile", action="store_true",
+                   help="per-click latency percentiles + histogram + HBM "
+                        "counters (SURVEY §5 tracing equivalent)")
     p.add_argument("--shard", default=None, metavar="I/N",
                    help="evaluate shard I of N (multi-host eval: run one "
                         "shard per host, e.g. 0/4 .. 3/4, merge the IoU "
@@ -171,11 +174,30 @@ def main() -> None:
             print(f"throughput: {stats['objects_per_sec']:.3f} obj/s, "
                   f"{stats['clicks_per_sec']:.2f} clicks/s")
         else:
+            recorder = None
+            if args.profile:
+                from pvpuformer_tpu.utils.profiling import LatencyRecorder
+                recorder = LatencyRecorder()
+                orig_next = predictor.next_click
+
+                def timed_next():
+                    with recorder.measure():
+                        return orig_next()
+                predictor.next_click = timed_next
+                # per-click path so every click is individually timed
+                vis_callback = vis_callback or (lambda *a: None)
             all_ious, elapsed = evaluate_dataset(
                 dataset, predictor, max_iou_thr=target_iou,
                 pred_thr=args.thresh, min_clicks=args.min_n_clicks,
                 max_clicks=args.n_clicks, callback=vis_callback,
                 progress=True)
+            if recorder is not None and recorder.samples_ms:
+                print("per-click latency:", recorder.summary())
+                counts, edges = recorder.histogram(bins=10)
+                for c, lo, hi in zip(counts, edges[:-1], edges[1:]):
+                    print(f"  {lo:8.2f}-{hi:8.2f} ms: {'#' * int(c)}")
+                from pvpuformer_tpu.utils.profiling import memory_stats
+                print("memory:", memory_stats())
 
         mean_spc, mean_spi = get_time_metrics(all_ious, elapsed)
         noc, _, over_max = compute_noc_metric(
