@@ -76,6 +76,12 @@ class Trainer:
         self.epoch = 0
 
         with self.mesh:
+            # copy on ingest: train_step donates its param buffers, and
+            # device_put with an identical sharding can alias the caller's
+            # arrays — without the copy, the caller's params would be
+            # deleted after the first step
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params)
             self.params = shard_params(params, self.mesh, param_mode)
             self.opt_state = tx.init(self.params)
 

@@ -337,3 +337,26 @@ def test_bf16_training_and_vis_dump(tmp_path):
     assert np.isfinite(means["loss"])
     dumps = list((tmp_path / "vis").glob("*.jpg"))
     assert dumps, "no visualization panels written"
+
+
+@pytest.mark.slow
+def test_trainer_does_not_consume_caller_params():
+    """train_step donates its buffers; Trainer must copy on ingest so the
+    caller's params stay usable (regression for a real deleted-array crash)."""
+    from pvpuformer_tpu.data import SyntheticTrainDataset, Loader
+    from pvpuformer_tpu.engine.optimizer import make_optimizer
+    from pvpuformer_tpu.engine.trainer import Trainer
+    from pvpuformer_tpu.models.vpu import init_vpu, vpu_forward
+
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), mcfg)
+    tx = make_optimizer(params, "adam", lr=1e-3)
+    ds = SyntheticTrainDataset(n_samples=8, hw=(64, 64), epoch_len=8)
+    tr = Trainer(params, TrainConfig(model=mcfg, remat=False), tx,
+                 Loader(ds, batch_size=8, num_workers=1))
+    tr.training(0)
+    # original params must still be alive and usable
+    img = jnp.zeros((1, 64, 64, 4))
+    pts = jnp.full((1, 12, 3), -1.0)
+    out = vpu_forward(params, mcfg, img, pts, prompt_type=0)
+    assert np.isfinite(np.asarray(out["instances"])).all()
