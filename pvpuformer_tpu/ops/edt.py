@@ -52,8 +52,21 @@ def _col_dist(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(d_up, d_dn).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def squared_edt(mask: jnp.ndarray, chunk: Optional[int] = 32) -> jnp.ndarray:
+_DEFAULT_IMPL = "xla"
+
+
+def set_default_impl(impl: str) -> None:
+    """Select the min-plus pass implementation globally: "xla" (fused
+    reduction) or "pallas" (ops/edt_pallas.py). Takes effect for programs
+    traced after the call."""
+    global _DEFAULT_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _DEFAULT_IMPL = impl
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "impl"))
+def squared_edt(mask: jnp.ndarray, chunk: Optional[int] = 32,
+                impl: Optional[str] = None) -> jnp.ndarray:
     """Exact squared EDT of (H, W) bool mask (distance to nearest zero/border).
 
     chunk sizes the min-plus pass's column blocks. Measured on v5e at 448^2:
@@ -64,6 +77,14 @@ def squared_edt(mask: jnp.ndarray, chunk: Optional[int] = 32) -> jnp.ndarray:
     h, w = mask.shape
     dcol = _col_dist(mask)
     dcol2 = jnp.square(dcol.astype(jnp.float32))          # (H, W)
+
+    if (impl or _DEFAULT_IMPL) == "pallas":
+        from .edt_pallas import minplus_rows
+        d = minplus_rows(dcol2, interpret=jax.default_backend() != "tpu")
+        cols_f = jnp.arange(w, dtype=jnp.float32)
+        border = jnp.minimum(jnp.square(cols_f + 1.0),
+                             jnp.square(w - cols_f))
+        return jnp.where(mask, jnp.minimum(d, border[None, :]), 0.0)
 
     cols = jnp.arange(w, dtype=jnp.float32)
     if chunk is None:

@@ -201,3 +201,14 @@ def test_bicubic_matches_torch():
     ref = F.interpolate(torch.from_numpy(x)[None], size=(28, 28), mode="bicubic",
                         align_corners=False)[0].numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_pallas_edt_matches_xla():
+    """ops/edt_pallas.minplus_rows path == the XLA min-plus path exactly
+    (interpret mode on CPU; re-verified on TPU by scripts/profile runs)."""
+    r = rng(11)
+    for shape in [(37, 53), (64, 64), (16, 200)]:
+        m = r.uniform(size=shape) > 0.6
+        a = np.asarray(squared_edt(jnp.asarray(m), impl="xla"))
+        b = np.asarray(squared_edt(jnp.asarray(m), impl="pallas"))
+        np.testing.assert_array_equal(a, b)
