@@ -60,6 +60,8 @@ class PredictorConfig:
     # session and predictions reported at that size (transforms/
     # limit_longest_side.py:4-22). 0 disables.
     limit_longest_side: int = 0
+    # "auto" -> Pallas min-plus EDT on TPU, XLA elsewhere (ops/edt.py)
+    edt_impl: str = "auto"
 
 
 class SessionState(NamedTuple):
@@ -266,7 +268,9 @@ def click_step(params, cfg: PredictorConfig, state: SessionState):
     not_ignore = state.gt != -1
     fn = gt_pos & (~pred) & not_ignore
     fp = (~gt_pos) & pred & not_ignore
-    is_pos, cy, cx, _ = next_click_from_error(fn, fp, state.not_clicked)
+    from ..ops.edt import resolve_impl
+    is_pos, cy, cx, _ = next_click_from_error(fn, fp, state.not_clicked,
+                                              impl=resolve_impl(cfg.edt_impl))
 
     order = state.click_count.astype(jnp.float32)
     row = jnp.stack([cy.astype(jnp.float32), cx.astype(jnp.float32), order])
