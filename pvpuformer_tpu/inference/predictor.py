@@ -60,8 +60,11 @@ class PredictorConfig:
     # session and predictions reported at that size (transforms/
     # limit_longest_side.py:4-22). 0 disables.
     limit_longest_side: int = 0
-    # "auto" -> Pallas min-plus EDT on TPU, XLA elsewhere (ops/edt.py)
-    edt_impl: str = "auto"
+    # min-plus EDT implementation (ops/edt.py): "xla" default — the Pallas
+    # kernel wins in a single-session scan (4.10 vs 4.24 ms/click) but LOSES
+    # inside the nested multi-session scan (5.17 vs 4.50); "auto" = pallas
+    # on TPU for interactive (single-scan) use
+    edt_impl: str = "xla"
 
 
 class SessionState(NamedTuple):
