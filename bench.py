@@ -24,9 +24,9 @@ import numpy as np
 
 BASELINE_MS = 5.0
 CLICKS_PER_SESSION = 20
-SESSIONS_PER_DISPATCH = 5
+SESSIONS_PER_DISPATCH = 10
 WARMUP = 2
-MEASURE = 8
+MEASURE = 10
 
 
 def main() -> None:
