@@ -19,7 +19,7 @@ filter (min_object_area) -> MultiPointSampler (target mask + initial clicks)
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ Behavior follows the RITM-lineage conventions the class name implies
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ the fused train step reuses it (documented in engine/train_step.py).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

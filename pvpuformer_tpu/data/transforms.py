@@ -12,7 +12,7 @@ geometric ops applied to both (nearest for masks), photometric to the image.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

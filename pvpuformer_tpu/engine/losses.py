@@ -23,7 +23,6 @@ an aux dict so a host-side logger can maintain the EMAs functionally.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

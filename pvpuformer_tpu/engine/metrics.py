@@ -12,7 +12,6 @@ machine stays on host, mirroring the reference's host-side updates.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ Weight decay follows torch.optim.Adam semantics (L2 added to the gradient
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ Documented deviations from the reference (training-data randomness only):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ brs_functors.py:60-72.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

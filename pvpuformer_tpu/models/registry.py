@@ -10,7 +10,7 @@ model identity and lives inside the checkpoint).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple, Type
+from typing import Callable, Dict, Tuple, Type
 
 _REGISTRY: Dict[Type, Tuple[Callable, Callable]] = {}
 

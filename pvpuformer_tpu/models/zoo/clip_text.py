@@ -16,7 +16,7 @@ path, documented as a deviation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 import jax

@@ -18,7 +18,7 @@ Frozen-BN everywhere (zoo/common.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

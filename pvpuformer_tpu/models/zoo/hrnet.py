@@ -21,7 +21,7 @@ Widths: hrnetv2_w18_small / w18 / w32 / w48 via `width` and `small`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Compact JAX re-derivation of `isegm/model/modeling/swin_transformer.py:1-654`
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 import jax

@@ -17,7 +17,7 @@ Axes:
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import numpy as np
 import jax

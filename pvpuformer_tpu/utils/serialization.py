@@ -145,6 +145,43 @@ def save_checkpoint(path, params: Any, config: Any = None,
     tmp.replace(path)
 
 
+def save_checkpoint_orbax(path, params: Any, config: Any = None,
+                          opt_state: Any = None, step: int = 0,
+                          extra: Optional[Dict[str, Any]] = None) -> None:
+    """Orbax-backed checkpoint for sharded / multi-host training: params stay
+    sharded (no host gather, unlike the .npz path) and writes are
+    fault-tolerant. Layout: <path>/state (pytree) + <path>/header.json."""
+    import json as _json
+    import orbax.checkpoint as ocp
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        state = {"params": params}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        ckptr.save(path / "state", state, force=True)
+    if jax.process_index() == 0:
+        header = {"config": config_to_dict(config) if config is not None
+                  else None, "step": int(step), "extra": extra or {},
+                  "format": "pvpuformer-tpu/orbax/1"}
+        (path / "header.json").write_text(_json.dumps(header))
+
+
+def load_checkpoint_orbax(path, state_like: Any
+                          ) -> Tuple[Any, Any, int, Dict[str, Any]]:
+    """Restore an orbax checkpoint; `state_like` provides the pytree
+    structure/shardings ({"params": ..., ["opt_state": ...]})."""
+    import json as _json
+    import orbax.checkpoint as ocp
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path / "state", state_like)
+    header = _json.loads((path / "header.json").read_text())
+    config = config_from_dict(header["config"]) \
+        if header.get("config") is not None else None
+    return state, config, int(header.get("step", 0)), \
+        dict(header.get("extra") or {})
+
+
 def load_checkpoint(path, opt_state_like: Any = None
                     ) -> Tuple[Any, Any, int, Dict[str, Any]]:
     """Returns (params, config, step, extra); if `opt_state_like` is given,

@@ -13,7 +13,7 @@ Weight layout translation (see nn.py docstring):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

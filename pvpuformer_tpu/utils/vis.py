@@ -11,7 +11,6 @@ Numpy re-implementations of `isegm/utils/vis.py`:
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Sequence
 
 import numpy as np
 

@@ -315,3 +315,19 @@ def test_plainvit_checkpoint_ingest_structure():
     pts = jnp.full((1, 12, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
     out = plainvit_forward(ours, cfg, img, pts)
     assert np.isfinite(np.asarray(out["instances"])).all()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from pvpuformer_tpu.utils.serialization import (save_checkpoint_orbax,
+                                                    load_checkpoint_orbax)
+    cfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), cfg)
+    save_checkpoint_orbax(tmp_path / "ck", params, config=cfg, step=5,
+                          extra={"epoch": 1})
+    like = {"params": jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params)}
+    state, cfg2, step, extra = load_checkpoint_orbax(tmp_path / "ck", like)
+    assert cfg2 == cfg and step == 5 and extra["epoch"] == 1
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
