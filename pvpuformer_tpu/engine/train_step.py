@@ -53,6 +53,9 @@ class TrainConfig:
     pred_thresh: float = 0.49
     use_random_clicks: bool = True
     use_iterloss: bool = True                       # False = RITM iter-mask
+    pclout: bool = False                            # trainer.py:426-431: feed
+                                                    # raw logits (not sigmoid)
+                                                    # as the next prev mask
     as_allmask: bool = False
     prev_mask_drop_prob: float = 0.0
     remat: bool = True                              # jax.checkpoint per round
@@ -154,7 +157,8 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
         total += _round_losses(cfg, out, gt, ed_mask,
                                cfg.iterloss_weights[k], logs, k)
 
-        prev = jax.nn.sigmoid(out["instances"].astype(jnp.float32))
+        prev = out["instances"].astype(jnp.float32) if cfg.pclout else \
+            jax.nn.sigmoid(out["instances"].astype(jnp.float32))
         prev = jax.lax.stop_gradient(prev)
 
         if k < num_iters - 1:
