@@ -155,7 +155,8 @@ def coord_features(cfg: VPUConfig, image: jnp.ndarray, prev_mask, points,
     if prompt_type == 1 and boxes is not None:
         disks = draw_box_into_coords(disks, boxes, points.shape[1] // 2)
     elif prompt_type == 2 and scribbles is not None:
-        disks = draw_scribble_into_coords(disks, scribbles[0])
+        # scribbles = ((B, 1, S, 2), (B, 1, 4)) in the trainer layout
+        disks = draw_scribble_into_coords(disks, scribbles[0][:, 0])
     if prev_mask is not None:
         return jnp.concatenate([prev_mask, disks], axis=-1)
     return disks

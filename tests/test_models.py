@@ -189,3 +189,33 @@ def test_plainvit_forward():
     out = jax.jit(lambda p, i, q: plainvit_forward(p, cfg, i, q))(params, img, pts)
     assert out["instances"].shape == (2, 64, 64, 1)
     assert np.isfinite(np.asarray(out["instances"])).all()
+
+
+def test_traced_prompt_type_matches_static():
+    """vpu_forward_traced_type (training path, where-selected encodings) must
+    equal vpu_forward with the static prompt_type for each type."""
+    import numpy as np
+    from pvpuformer_tpu.models.vpu import vpu_forward_traced_type
+
+    cfg = tiny_cfg()
+    params = init_vpu(jax.random.key(1), cfg)
+    r = np.random.default_rng(0)
+    img = jnp.asarray(r.uniform(size=(2, 64, 64, 4)).astype(np.float32))
+    pts = jnp.full((2, 12, 3), -1.0)
+    pts = pts.at[0, 0].set(jnp.asarray([20.0, 24.0, 0.0]))
+    pts = pts.at[1, 6].set(jnp.asarray([40.0, 30.0, 0.0]))
+    boxes = jnp.asarray([[30, 30, 20, 16, 0], [20, 40, 12, 10, 7]],
+                        jnp.float32)
+    scr = jnp.zeros((2, 50, 2), jnp.float32).at[:, :, 0].set(25.0)
+    scr = scr.at[:, :, 1].set(jnp.linspace(10, 40, 50))
+    rects = jnp.asarray([[25, 25, 10, 30], [25, 25, 10, 30]], jnp.float32)
+
+    for pt_type in (0, 1, 2):
+        static = vpu_forward(params, cfg, img, pts, boxes=boxes,
+                             scribbles=(scr[:, None], rects[:, None]),
+                             prompt_type=pt_type)
+        traced = vpu_forward_traced_type(params, cfg, img, pts, boxes, scr,
+                                         rects, jnp.int32(pt_type))
+        np.testing.assert_allclose(np.asarray(static["instances"]),
+                                   np.asarray(traced["instances"]),
+                                   atol=2e-4, rtol=1e-3)
