@@ -34,7 +34,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.edt import squared_edt, squared_edt_pair
+from ..ops.edt import squared_edt_pair
 
 
 # ---------------------------------------------------------------------------

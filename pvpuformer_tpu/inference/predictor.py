@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..engine.prompt_sim import synth_boxes, synth_scribbles
-from ..models.vpu import VPUConfig, vpu_forward
+from ..models.vpu import VPUConfig
 from ..ops.edt import next_click_from_error
 from ..ops.resize import roi_crop_resize, roi_paste_back
 

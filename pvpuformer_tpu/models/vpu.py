@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..ops.distmaps import disk_maps, dist_maps
+from ..ops.distmaps import dist_maps
 from ..ops.ppue import PPuEConfig, ppue_box, ppue_click, ppue_scribble
 from ..ops.rasterize import draw_box_into_coords, draw_scribble_into_coords
 from ..ops.resize import bilinear_resize

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ... import nn
 from ...ops.resize import bilinear_resize
-from .common import (conv_bn_relu, frozen_bn, init_conv_bn,
+from .common import (conv_bn_relu, init_conv_bn,
                      init_maps_transform, maps_transform, is_inputs)
 
 
