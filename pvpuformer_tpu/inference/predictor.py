@@ -160,10 +160,12 @@ def _clicks_inside_roi(points: jnp.ndarray, n: int, roi) -> jnp.ndarray:
 
 
 def _update_roi(cfg: PredictorConfig, state: SessionState, points) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One ZoomIn.transform ROI decision (zoom_in.py:40-63)."""
+    """One ZoomIn.transform ROI decision (zoom_in.py:40-63). Zoom-in stays
+    inactive (full-image ROI) until click_count > skip_clicks
+    (zoom_in.py:33-38; cvpr eval uses skip_clicks=-1 = always active)."""
     n = points.shape[1] // 2
     pred = state.prev_probs[0, :, :, 0] > cfg.zoom_prob_thresh
-    pred_any = jnp.any(pred)
+    pred_any = jnp.any(pred) & (state.click_count > cfg.skip_clicks)
 
     # pred mask with positive clicks stamped in (zoom_in.py:156-162)
     pos = points[0, :n]

@@ -243,3 +243,33 @@ def test_golden_click_trajectory():
     np.testing.assert_allclose(ious, golden["ious"], atol=1e-4)
     np.testing.assert_allclose(np.asarray(pred.clicks),
                                np.asarray(golden["clicks"]), atol=1e-4)
+
+
+def test_skip_clicks_delays_zoom_in():
+    """skip_clicks=K keeps the full-image ROI until click K+1
+    (zoom_in.py:33-38; cvpr mode uses -1 = zoom from the first click)."""
+    import numpy as np
+    import jax
+    from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
+    from pvpuformer_tpu.models.vpu import init_vpu
+    from test_models import tiny_cfg
+
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), mcfg)
+    r = np.random.default_rng(0)
+    image = (r.uniform(size=(96, 96, 3)) * 255).astype(np.uint8)
+    gt = np.zeros((96, 96), np.float32)
+    gt[30:60, 30:60] = 1.0
+
+    cfg = PredictorConfig(model=mcfg, target_size=(64, 64), min_crop_size=16,
+                          zoom_prob_thresh=0.0, skip_clicks=2)
+    pred = Predictor(params, cfg)
+    pred.set_input(image, gt)
+    pred.next_click()
+    roi1 = np.asarray(pred.state.roi)
+    # clicks 1..2: ROI must span the full image
+    assert roi1[0] == 0 and roi1[2] == 0
+    assert roi1[1] == 95 and roi1[3] == 95
+    pred.next_click()
+    pred.next_click()          # click 3 > skip_clicks -> zoom may engage
+    assert int(pred.state.click_count) == 3
