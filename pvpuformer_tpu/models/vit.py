@@ -39,6 +39,7 @@ class ViTConfig:
     ln_eps: float = 1e-6
     window_pixels: int = 224        # pretraining resolution for window split
     attn_impl: str = "xla"          # "xla" (nn.sdpa) | "flash" (Pallas kernel)
+    ln_f32: bool = True             # False: LN in bf16 (inference speed)
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -79,9 +80,9 @@ def init_block(key, dim: int, num_heads: int, mlp_ratio: float,
 
 
 def block_forward(p, x: jnp.ndarray, num_heads: int, eps: float,
-                  attn_impl: str = "xla") -> jnp.ndarray:
+                  attn_impl: str = "xla", ln_f32: bool = True) -> jnp.ndarray:
     b, n, d = x.shape
-    h = nn.layer_norm(p["norm1"], x, eps)
+    h = nn.layer_norm(p["norm1"], x, eps, f32=ln_f32)
     qkv = nn.linear(p["attn"]["qkv"], h).reshape(b, n, 3, num_heads, d // num_heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if attn_impl == "flash":
@@ -90,7 +91,7 @@ def block_forward(p, x: jnp.ndarray, num_heads: int, eps: float,
     else:
         attn = nn.sdpa(q, k, v).reshape(b, n, d)
     x = x + nn.linear(p["attn"]["proj"], attn)
-    x = x + nn.mlp(p["mlp"], nn.layer_norm(p["norm2"], x, eps))
+    x = x + nn.mlp(p["mlp"], nn.layer_norm(p["norm2"], x, eps, f32=ln_f32))
     return x
 
 
@@ -169,7 +170,7 @@ def vit_backbone_forward(params, cfg: ViTConfig, x_patches: jnp.ndarray,
             inv = jnp.argsort(ids, axis=1)
             xs = jnp.take_along_axis(x, ids[:, :, None], axis=1)
             xs = block_forward(params["blocks"][i], xs, cfg.num_heads, cfg.ln_eps,
-                               cfg.attn_impl)
+                               cfg.attn_impl, cfg.ln_f32)
             x = jnp.take_along_axis(xs, inv[:, :, None], axis=1)
         return x
 
@@ -185,7 +186,7 @@ def vit_backbone_forward(params, cfg: ViTConfig, x_patches: jnp.ndarray,
                 x = _unpatchify(x, cfg)
                 is_patchified = False
         x = block_forward(params["blocks"][i - 1], x, cfg.num_heads, cfg.ln_eps,
-                          cfg.attn_impl)
+                          cfg.attn_impl, cfg.ln_f32)
     if is_patchified:
         x = _unpatchify(x, cfg)
     return x

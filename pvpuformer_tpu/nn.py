@@ -99,12 +99,19 @@ def init_layer_norm(dim: int) -> Params:
     return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
 
 
-def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    xf = x.astype(jnp.float32)
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6,
+               f32: bool = True) -> jnp.ndarray:
+    """torch-parity LayerNorm. f32=False normalizes in the input dtype —
+    an inference-speed option (the f32 round trips cost ~36 convert+reduce
+    fusions per ViT-B click); keep f32=True for training/parity."""
+    xf = x.astype(jnp.float32) if f32 else x
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"] + p["bias"]
+    if f32:
+        y = y * p["scale"] + p["bias"]
+    else:
+        y = y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
     return y.astype(x.dtype)
 
 
