@@ -1,8 +1,9 @@
 """Shared pieces for the legacy zoo.
 
 * `frozen_bn` — BatchNorm evaluated with stored statistics (params carry
-  running mean/var; training keeps them frozen). Torch BN weights ingest
-  directly; at random init it's an identity affine. This replaces live
+  running mean/var; training keeps them frozen). The parameter layout
+  holds torch BN weights one-to-one (per-family converters TBD); at random
+  init it's an identity affine. This replaces live
   batch statistics — documented deviation from the reference's
   nn.BatchNorm2d, chosen so the functional/jit training path stays pure.
 * `maps_transform` — RITM's coord-feature adapter (is_model.py:28-36):

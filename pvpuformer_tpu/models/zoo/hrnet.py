@@ -15,7 +15,8 @@ Compact JAX re-derivation of `isegm/model/modeling/hrnet_ocr.py:13-430` +
     pools per-region features; ObjectAttentionBlock (query pixels against
     region keys) -> context, concat + 1x1 fuse -> final 1-channel cls.
 
-Norms are frozen-BN (zoo/common.py) so torch HRNet weights ingest directly.
+Norms are frozen-BN (zoo/common.py); the layout matches torch BN
+parameters (a name-map converter for published HRNet weights is TBD).
 Widths: hrnetv2_w18_small / w18 / w32 / w48 via `width` and `small`.
 """
 from __future__ import annotations
