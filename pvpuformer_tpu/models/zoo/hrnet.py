@@ -15,8 +15,8 @@ Compact JAX re-derivation of `isegm/model/modeling/hrnet_ocr.py:13-430` +
     pools per-region features; ObjectAttentionBlock (query pixels against
     region keys) -> context, concat + 1x1 fuse -> final 1-channel cls.
 
-Norms are frozen-BN (zoo/common.py); the layout matches torch BN
-parameters (a name-map converter for published HRNet weights is TBD).
+Norms are frozen-BN (zoo/common.py); RITM HRNetModel weights ingest via
+utils/torch_ingest.convert_hrnet_checkpoint (name-map tested).
 Widths: hrnetv2_w18_small / w18 / w32 / w48 via `width` and `small`.
 """
 from __future__ import annotations
@@ -56,6 +56,7 @@ class HRNetISConfig:
 
     @property
     def blocks_per_module(self) -> int:
+        # hrnet_ocr.py:170: num_blocks = 2 if small else 4 (layer1 + branches)
         return 2 if self.small else 4
 
     def replace(self, **kw):
@@ -262,7 +263,7 @@ def init_hrnet_is(key, cfg: HRNetISConfig) -> Dict[str, Any]:
         "stem2": init_conv_bn(ks[2], 3, 3, 64, 64),
         "layer1": [_init_bottleneck(jax.random.fold_in(ks[3], j),
                                     64 if j == 0 else 256, 64)
-                   for j in range(4)],
+                   for j in range(cfg.blocks_per_module)],
         "tr1": _init_transition(ks[4], (256,), w[:2]),
         "stage2": [_init_module(jax.random.fold_in(ks[5], m), w[:2],
                                 cfg.blocks_per_module)

@@ -251,6 +251,121 @@ def load_vpu_checkpoint(path, cfg) -> Dict[str, Any]:
     return convert_vpu_checkpoint(load_torch_state_dict(path), cfg)
 
 
+def _bn(sd, name) -> Dict[str, np.ndarray]:
+    """BatchNorm2d -> frozen-BN params (zoo/common.py)."""
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"],
+            "mean": sd[f"{name}.running_mean"],
+            "var": sd[f"{name}.running_var"]}
+
+
+def _conv_bn(sd, conv_name, bn_name) -> Dict[str, Any]:
+    return {"conv": _conv(sd, conv_name), "bn": _bn(sd, bn_name)}
+
+
+def convert_hrnet_checkpoint(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """RITM HRNetModel state dict -> our hrnet params (zoo/hrnet.py).
+
+    Name map over `isegm/model/modeling/hrnet_ocr.py` (stem conv1/bn1 +
+    conv2/bn2, layer1 BottleneckV1b, transition{1..3}, stage{2..4} modules
+    with branches/fuse_layers, conv3x3_ocr + aux_head + SpatialOCR at
+    ocr.py:30-141) and ISModel's maps_transform (is_model.py:28-36).
+    `cfg` is a zoo.hrnet.HRNetISConfig matching the checkpoint's
+    width/small/ocr_width.
+    """
+    fx = "feature_extractor."
+
+    def block_basic(prefix):
+        return {"c1": _conv_bn(sd, f"{prefix}.conv1", f"{prefix}.bn1"),
+                "c2": _conv_bn(sd, f"{prefix}.conv2", f"{prefix}.bn2")}
+
+    def block_bottleneck(prefix):
+        p = {"c1": _conv_bn(sd, f"{prefix}.conv1", f"{prefix}.bn1"),
+             "c2": _conv_bn(sd, f"{prefix}.conv2", f"{prefix}.bn2"),
+             "c3": _conv_bn(sd, f"{prefix}.conv3", f"{prefix}.bn3")}
+        if f"{prefix}.downsample.0.weight" in sd:
+            p["down"] = _conv_bn(sd, f"{prefix}.downsample.0",
+                                 f"{prefix}.downsample.1")
+        return p
+
+    def transition(tname, n_new_widths):
+        out = []
+        for i in range(n_new_widths):
+            base = f"{fx}{tname}.{i}"
+            if f"{base}.0.0.weight" in sd:          # new branch (nested Seq)
+                out.append({"new": _conv_bn(sd, f"{base}.0.0", f"{base}.0.1")})
+            elif f"{base}.0.weight" in sd:          # channel adapter
+                out.append(_conv_bn(sd, f"{base}.0", f"{base}.1"))
+            else:                                   # identity (None in torch)
+                out.append({})
+        return out
+
+    def module(prefix, nb, blocks):
+        p: Dict[str, Any] = {"branches": [], "fuse": []}
+        for b in range(nb):
+            p["branches"].append([
+                block_basic(f"{prefix}.branches.{b}.{j}")
+                for j in range(blocks)])
+        for i in range(nb):
+            row = []
+            for j in range(nb):
+                f = f"{prefix}.fuse_layers.{i}.{j}"
+                if j > i:
+                    row.append({"up": _conv_bn(sd, f"{f}.0", f"{f}.1")})
+                elif j < i:
+                    chain = []
+                    for k in range(i - j):
+                        chain.append(_conv_bn(sd, f"{f}.{k}.0", f"{f}.{k}.1"))
+                    row.append({"downs": chain})
+                else:
+                    row.append({})
+            p["fuse"].append(row)
+        return p
+
+    w = cfg.branch_widths
+    nm = cfg.num_modules
+    blocks = cfg.blocks_per_module
+    ocr = {
+        "conv3x3": _conv_bn(sd, f"{fx}conv3x3_ocr.0", f"{fx}conv3x3_ocr.1"),
+        "aux": {"c1": _conv_bn(sd, f"{fx}aux_head.0", f"{fx}aux_head.1"),
+                "cls": _conv(sd, f"{fx}aux_head.3")},
+        "f_pixel": [
+            _conv_bn(sd, f"{fx}ocr_distri_head.object_context_block.f_pixel.0",
+                     f"{fx}ocr_distri_head.object_context_block.f_pixel.1.0"),
+            _conv_bn(sd, f"{fx}ocr_distri_head.object_context_block.f_pixel.2",
+                     f"{fx}ocr_distri_head.object_context_block.f_pixel.3.0")],
+        "f_object": [
+            _conv_bn(sd, f"{fx}ocr_distri_head.object_context_block.f_object.0",
+                     f"{fx}ocr_distri_head.object_context_block.f_object.1.0"),
+            _conv_bn(sd, f"{fx}ocr_distri_head.object_context_block.f_object.2",
+                     f"{fx}ocr_distri_head.object_context_block.f_object.3.0")],
+        "f_down": _conv_bn(
+            sd, f"{fx}ocr_distri_head.object_context_block.f_down.0",
+            f"{fx}ocr_distri_head.object_context_block.f_down.1.0"),
+        "f_up": _conv_bn(
+            sd, f"{fx}ocr_distri_head.object_context_block.f_up.0",
+            f"{fx}ocr_distri_head.object_context_block.f_up.1.0"),
+        "bottleneck": _conv_bn(sd, f"{fx}ocr_distri_head.conv_bn_dropout.0",
+                               f"{fx}ocr_distri_head.conv_bn_dropout.1.0"),
+        "cls": _conv(sd, f"{fx}cls_head"),
+    }
+    return {
+        "maps_transform": {"conv1": _conv(sd, "maps_transform.0"),
+                           "conv2": _conv(sd, "maps_transform.2"),
+                           "scale": sd["maps_transform.3.scale"].reshape(())},
+        "stem1": _conv_bn(sd, f"{fx}conv1", f"{fx}bn1"),
+        "stem2": _conv_bn(sd, f"{fx}conv2", f"{fx}bn2"),
+        "layer1": [block_bottleneck(f"{fx}layer1.{j}")
+                   for j in range(blocks)],
+        "tr1": transition("transition1", 2),
+        "stage2": [module(f"{fx}stage2.{m}", 2, blocks) for m in range(nm[0])],
+        "tr2": transition("transition2", 3),
+        "stage3": [module(f"{fx}stage3.{m}", 3, blocks) for m in range(nm[1])],
+        "tr3": transition("transition3", 4),
+        "stage4": [module(f"{fx}stage4.{m}", 4, blocks) for m in range(nm[2])],
+        "ocr": ocr,
+    }
+
+
 def convert_plainvit_checkpoint(sd: Dict[str, np.ndarray],
                                 cfg) -> Dict[str, Any]:
     """SimpleClick PlainVitModel state dict -> our plainvit params

@@ -331,3 +331,126 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(state["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def make_reference_hrnet_sd(cfg, seed=0):
+    """Synthetic RITM HRNetModel state dict (hrnet_ocr.py names)."""
+    r = np.random.default_rng(seed)
+    sd = {}
+
+    def conv(name, i, o, k=3, bias=False):
+        sd[f"{name}.weight"] = r.normal(0, 0.02, (o, i, k, k)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = np.ones((c,), np.float32)
+        sd[f"{name}.bias"] = np.zeros((c,), np.float32)
+        sd[f"{name}.running_mean"] = r.normal(0, 0.1, (c,)).astype(np.float32)
+        sd[f"{name}.running_var"] = r.uniform(0.5, 2.0, (c,)).astype(np.float32)
+
+    def cb(cname, bname, i, o, k=3, bias=False):
+        conv(cname, i, o, k, bias)
+        bn(bname, o)
+
+    # ISModel maps_transform (is_model.py:28-36)
+    conv("maps_transform.0", 3, 16, k=1, bias=True)
+    conv("maps_transform.2", 16, 64, k=3, bias=True)
+    sd["maps_transform.3.scale"] = np.asarray([0.05], np.float32)
+
+    fx = "feature_extractor."
+    w = cfg.branch_widths
+    blocks = cfg.blocks_per_module
+    cb(f"{fx}conv1", f"{fx}bn1", 3, 64)
+    cb(f"{fx}conv2", f"{fx}bn2", 64, 64)
+    for j in range(blocks):
+        p = f"{fx}layer1.{j}"
+        cin = 64 if j == 0 else 256
+        cb(f"{p}.conv1", f"{p}.bn1", cin, 64, k=1)
+        cb(f"{p}.conv2", f"{p}.bn2", 64, 64, k=3)
+        cb(f"{p}.conv3", f"{p}.bn3", 64, 256, k=1)
+        if j == 0:
+            cb(f"{p}.downsample.0", f"{p}.downsample.1", cin, 256, k=1)
+
+    def transition(tname, prev, cur):
+        for i, cw in enumerate(cur):
+            base = f"{fx}{tname}.{i}"
+            if i < len(prev):
+                if prev[i] != cw:
+                    cb(f"{base}.0", f"{base}.1", prev[i], cw)
+            else:
+                cb(f"{base}.0.0", f"{base}.0.1", prev[-1], cw)
+
+    def stage(sname, widths, n_modules):
+        for m in range(n_modules):
+            p = f"{fx}{sname}.{m}"
+            for b, bw in enumerate(widths):
+                for j in range(blocks):
+                    q = f"{p}.branches.{b}.{j}"
+                    cb(f"{q}.conv1", f"{q}.bn1", bw, bw)
+                    cb(f"{q}.conv2", f"{q}.bn2", bw, bw)
+            nbr = len(widths)
+            for i in range(nbr):
+                for j in range(nbr):
+                    f = f"{p}.fuse_layers.{i}.{j}"
+                    if j > i:
+                        cb(f"{f}.0", f"{f}.1", widths[j], widths[i], k=1)
+                    elif j < i:
+                        cin = widths[j]
+                        for k in range(i - j):
+                            cout = widths[i] if k == i - j - 1 else widths[j]
+                            cb(f"{f}.{k}.0", f"{f}.{k}.1", cin, cout)
+                            cin = cout
+
+    transition("transition1", (256,), w[:2])
+    stage("stage2", w[:2], cfg.num_modules[0])
+    transition("transition2", w[:2], w[:3])
+    stage("stage3", w[:3], cfg.num_modules[1])
+    transition("transition3", w[:3], w)
+    stage("stage4", w, cfg.num_modules[2])
+
+    total = sum(w)
+    mid, key = 2 * cfg.ocr_width, cfg.ocr_width
+    cb(f"{fx}conv3x3_ocr.0", f"{fx}conv3x3_ocr.1", total, mid, bias=True)
+    cb(f"{fx}aux_head.0", f"{fx}aux_head.1", total, total, k=1, bias=True)
+    conv(f"{fx}aux_head.3", total, 1, k=1, bias=True)
+    ob = f"{fx}ocr_distri_head.object_context_block"
+    for name in ("f_pixel", "f_object"):
+        cb(f"{ob}.{name}.0", f"{ob}.{name}.1.0", mid, key, k=1)
+        cb(f"{ob}.{name}.2", f"{ob}.{name}.3.0", key, key, k=1)
+    cb(f"{ob}.f_down.0", f"{ob}.f_down.1.0", mid, key, k=1)
+    cb(f"{ob}.f_up.0", f"{ob}.f_up.1.0", key, mid, k=1)
+    cb(f"{fx}ocr_distri_head.conv_bn_dropout.0",
+       f"{fx}ocr_distri_head.conv_bn_dropout.1.0", 2 * mid, mid, k=1)
+    conv(f"{fx}cls_head", mid, 1, k=1, bias=True)
+    return sd
+
+
+def test_hrnet_checkpoint_ingest():
+    from pvpuformer_tpu.models.zoo.hrnet import (HRNetISConfig,
+                                                 init_hrnet_is,
+                                                 hrnet_is_forward)
+    from pvpuformer_tpu.utils.serialization import flatten_tree
+    from pvpuformer_tpu.utils.torch_ingest import convert_hrnet_checkpoint
+
+    cfg = HRNetISConfig(width=8, small=True, ocr_width=16)
+    sd = make_reference_hrnet_sd(cfg)
+    ours = convert_hrnet_checkpoint(sd, cfg)
+    want = init_hrnet_is(jax.random.key(0), cfg)
+
+    f_ours = flatten_tree(ours)
+    f_want = flatten_tree(want)
+    missing = set(f_want) - set(f_ours)
+    assert not missing, sorted(missing)[:6]
+    for k in f_want:
+        assert np.shape(f_ours[k]) == np.shape(np.asarray(f_want[k])), \
+            (k, np.shape(f_ours[k]))
+    # extra keys = torch conv biases before BN (applied faithfully)
+    extra = set(f_ours) - set(f_want)
+    assert all(k.endswith("/b") or k.endswith(".b") or "/conv/b" in k
+               or k.endswith("b") for k in extra), sorted(extra)[:6]
+
+    img = jnp.zeros((1, 64, 64, 4))
+    pts = jnp.full((1, 8, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
+    out = hrnet_is_forward(ours, cfg, img, pts)
+    assert np.isfinite(np.asarray(out["instances"])).all()
