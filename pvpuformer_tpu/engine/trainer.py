@@ -36,6 +36,28 @@ from .train_step import TrainConfig, train_step, eval_step
 logger = logging.getLogger("pvpuformer_tpu")
 
 
+class _AvgWriter:
+    """Window-averaged scalar logging (SummaryWriterAvg, isegm/utils/log.py:
+    51-97): scalars accumulate and flush as means every `period` steps;
+    disable_avg writes pass through immediately."""
+
+    def __init__(self, writer, period: int = 25):
+        self._w = writer
+        self._period = period
+        self._acc = {}
+
+    def add_scalar(self, tag, value, global_step, disable_avg=False):
+        if disable_avg or self._period <= 1:
+            self._w.add_scalar(tag, value, global_step)
+            return
+        s, n = self._acc.get(tag, (0.0, 0))
+        s, n = s + float(value), n + 1
+        if n >= self._period:
+            self._w.add_scalar(tag, s / n, global_step)
+            s, n = 0.0, 0
+        self._acc[tag] = (s, n)
+
+
 def _interval_for_epoch(schedule, epoch: int) -> int:
     """checkpoint_interval as int or [(start, every), ...] (trainer.py:257)."""
     if isinstance(schedule, int):
@@ -57,6 +79,7 @@ class Trainer:
                  tb_dir: Optional[str] = None,
                  vis_dir: Optional[str] = None,
                  image_dump_interval: int = 0,
+                 tb_dump_period: int = 25,
                  log_every: int = 25, seed: int = 0):
         self.cfg = cfg
         self.tx = tx
@@ -89,7 +112,8 @@ class Trainer:
         if tb_dir:
             try:
                 from torch.utils.tensorboard import SummaryWriter
-                self._tb = SummaryWriter(tb_dir)
+                self._tb = _AvgWriter(SummaryWriter(tb_dir),
+                                      period=tb_dump_period)
             except ImportError:
                 logger.warning("tensorboard unavailable; console logging only")
 
