@@ -219,3 +219,21 @@ def test_traced_prompt_type_matches_static():
         np.testing.assert_allclose(np.asarray(static["instances"]),
                                    np.asarray(traced["instances"]),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_random_shuffle_split_mode():
+    """models_vit.py:193-222 random token shuffle mode: permutation-invariant
+    per-block attention means the output must be finite and, with a single
+    full-sequence split, close to the unshuffled forward."""
+    cfg = ViTConfig(img_size=(64, 64), patch_size=(16, 16), embed_dim=32,
+                    depth=4, num_heads=4)
+    params = init_vit(jax.random.key(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    base = vit_backbone_forward(params, cfg, x)
+    shuf = vit_backbone_forward(params, cfg, x,
+                                shuffle_key=jax.random.key(5))
+    assert shuf.shape == base.shape
+    # full-sequence attention is permutation-equivariant -> same values
+    np.testing.assert_allclose(np.asarray(shuf), np.asarray(base),
+                               atol=5e-5, rtol=1e-4)

@@ -273,3 +273,33 @@ def test_skip_clicks_delays_zoom_in():
     pred.next_click()
     pred.next_click()          # click 3 > skip_clicks -> zoom may engage
     assert int(pred.state.click_count) == 3
+
+
+def test_cfr_cascade_forward():
+    """CFR-ICL cascade (base.py:59-72): cascade_step re-feeds the prediction;
+    adaptive mode stops early on <20 changed pixels."""
+    import numpy as np
+    import jax
+    from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
+    from pvpuformer_tpu.models.vpu import init_vpu
+    from test_models import tiny_cfg
+
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), mcfg)
+    r = np.random.default_rng(0)
+    image = (r.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    gt = np.zeros((64, 64), np.float32)
+    gt[16:48, 20:52] = 1.0
+
+    base = PredictorConfig(model=mcfg, target_size=(64, 64), min_crop_size=32)
+    for cfg in (base.__class__(**{**base.__dict__, "cascade_step": 3,
+                                  "cascade_clicks": 2}),
+                base.__class__(**{**base.__dict__, "cascade_step": 3,
+                                  "cascade_adaptive": True,
+                                  "cascade_clicks": 2})):
+        pred = Predictor(params, cfg)
+        pred.set_input(image, gt)
+        i1 = pred.next_click()
+        i2 = pred.next_click()
+        i3 = pred.next_click()   # beyond cascade_clicks -> single forward
+        assert np.isfinite([i1, i2, i3]).all()
