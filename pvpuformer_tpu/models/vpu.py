@@ -31,6 +31,7 @@ from ..ops.ppue import PPuEConfig, ppue_box, ppue_click, ppue_scribble
 from ..ops.rasterize import draw_box_into_coords, draw_scribble_into_coords
 from ..ops.resize import bilinear_resize
 from .vit import ViTConfig, init_vit, vit_backbone_forward
+from .two_way import TwoWayConfig
 from .fpn import NeckConfig, init_neck, neck_forward
 from .seg_head import HeadConfig, init_head, head_forward
 
@@ -91,7 +92,8 @@ def vpu_large_config(crop: Tuple[int, int] = (448, 448), upsample: str = "x1",
         backbone=ViTConfig(img_size=crop, patch_size=(16, 16), in_chans=3,
                            embed_dim=1024, depth=24, num_heads=16),
         neck=NeckConfig(in_dim=1024, out_dims=(128, 256, 512, 1024),
-                        img_size=crop),
+                        img_size=crop,
+                        two_way=TwoWayConfig(embedding_dim=1024)),
         head=HeadConfig(in_channels=(128, 256, 512, 1024), channels=channels,
                         upsample=upsample, d_model=1024),
         dtype=dtype,
@@ -107,7 +109,8 @@ def vpu_huge_config(crop: Tuple[int, int] = (448, 448), upsample: str = "x1",
         backbone=ViTConfig(img_size=crop, patch_size=(14, 14), in_chans=3,
                            embed_dim=1280, depth=32, num_heads=16),
         neck=NeckConfig(in_dim=1280, out_dims=(128, 256, 512, 1024),
-                        img_size=crop),
+                        img_size=crop,
+                        two_way=TwoWayConfig(embedding_dim=1280)),
         head=HeadConfig(in_channels=(128, 256, 512, 1024), channels=channels,
                         upsample=upsample, d_model=1280),
         dtype=dtype,
