@@ -237,3 +237,19 @@ def test_random_shuffle_split_mode():
     # full-sequence attention is permutation-equivariant -> same values
     np.testing.assert_allclose(np.asarray(shuf), np.asarray(base),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_large_huge_configs_shape_check():
+    """ViT-L/H config consistency (DMA dim threaded; BASELINE configs 4/5),
+    via eval_shape so no large weights materialize."""
+    from pvpuformer_tpu.models.vpu import vpu_large_config, vpu_huge_config
+    for f in (vpu_large_config, vpu_huge_config):
+        cfg = f()
+        params = jax.eval_shape(lambda k: init_vpu(k, cfg), jax.random.key(0))
+        img = jax.ShapeDtypeStruct((1, 448, 448, 4), jnp.float32)
+        pts = jax.ShapeDtypeStruct((1, 48, 3), jnp.float32)
+        out = jax.eval_shape(lambda p, i, q: vpu_forward(p, cfg, i, q,
+                                                         prompt_type=0),
+                             params, img, pts)
+        assert out["instances"].shape == (1, 448, 448, 1)
+        assert cfg.neck.two_way.embedding_dim == cfg.backbone.embed_dim
