@@ -366,6 +366,70 @@ def convert_hrnet_checkpoint(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     }
 
 
+def convert_mit_backbone(sd: Dict[str, np.ndarray], cfg,
+                         prefix: str = "") -> Dict[str, Any]:
+    """mmseg MixVisionTransformer (mit-b*) weights -> zoo/segformer stages.
+
+    Name map over the reference's mmseg-style backbone
+    (`isegm/model/modeling/segformer.py:336-366`):
+      layers.{i}.0.projection/.norm     overlap patch embed
+      layers.{i}.1.{j}.norm1/.attn.attn.in_proj_*/.attn.attn.out_proj/
+                      .attn.sr/.attn.norm/.norm2/.ffn.layers.{0,1,4}
+      layers.{i}.2                      stage-final LN
+    The stage-1 patch conv extends from 3 input channels to 3+coord_ch by
+    duplicating channels (the reference's "v3" weight surgery,
+    segformer.py:399-404). Returns {"stages": [...]} matching
+    init_segformer_is; head params are trained from scratch (mit releases
+    are backbone-only).
+    """
+    def k(n):
+        return f"{prefix}{n}"
+
+    coord_ch = 3 if cfg.with_prev_mask else 2
+    stages = []
+    for i in range(len(cfg.embed_dims)):
+        base = k(f"layers.{i}")
+        pw = sd[f"{base}.0.projection.weight"]        # (out, in, kh, kw)
+        pb = sd[f"{base}.0.projection.bias"]
+        if i == 0 and pw.shape[1] == 3 and coord_ch > 0:
+            extra = pw[:, :coord_ch]
+            pw = np.concatenate([pw, extra], axis=1)  # v3 channel surgery
+        d = pw.shape[0]
+        blocks = []
+        j = 0
+        while f"{base}.1.{j}.norm1.weight" in sd:
+            b = f"{base}.1.{j}"
+            in_w = sd[f"{b}.attn.attn.in_proj_weight"]       # (3D, D)
+            in_b = sd[f"{b}.attn.attn.in_proj_bias"]
+            blk = {
+                "norm1": _gn(sd, f"{b}.norm1"),
+                "q": {"w": in_w[:d].T, "b": in_b[:d]},
+                "kv": {"w": in_w[d:].T, "b": in_b[d:]},
+                "proj": _lin(sd, f"{b}.attn.attn.out_proj"),
+                "norm2": _gn(sd, f"{b}.norm2"),
+                "fc1": {"w": sd[f"{b}.ffn.layers.0.weight"][:, :, 0, 0].T,
+                        "b": sd[f"{b}.ffn.layers.0.bias"]},
+                "dw": {"w": np.ascontiguousarray(
+                    sd[f"{b}.ffn.layers.1.weight"].transpose(2, 3, 1, 0)),
+                    "b": sd[f"{b}.ffn.layers.1.bias"]},
+                "fc2": {"w": sd[f"{b}.ffn.layers.4.weight"][:, :, 0, 0].T,
+                        "b": sd[f"{b}.ffn.layers.4.bias"]},
+            }
+            if f"{b}.attn.sr.weight" in sd:
+                blk["sr"] = _conv(sd, f"{b}.attn.sr")
+                blk["sr_norm"] = _gn(sd, f"{b}.attn.norm")
+            blocks.append(blk)
+            j += 1
+        stages.append({
+            "patch": {"w": np.ascontiguousarray(pw.transpose(2, 3, 1, 0)),
+                      "b": pb},
+            "patch_norm": _gn(sd, f"{base}.0.norm"),
+            "blocks": blocks,
+            "norm": _gn(sd, f"{base}.2"),
+        })
+    return {"stages": stages}
+
+
 def convert_plainvit_checkpoint(sd: Dict[str, np.ndarray],
                                 cfg) -> Dict[str, Any]:
     """SimpleClick PlainVitModel state dict -> our plainvit params

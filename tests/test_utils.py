@@ -454,3 +454,71 @@ def test_hrnet_checkpoint_ingest():
     pts = jnp.full((1, 8, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
     out = hrnet_is_forward(ours, cfg, img, pts)
     assert np.isfinite(np.asarray(out["instances"])).all()
+
+
+def test_mit_backbone_ingest():
+    """mmseg mit-b* backbone weights -> zoo/segformer stages, with the
+    stage-1 channel surgery for coord inputs (segformer.py:399-404)."""
+    from pvpuformer_tpu.models.zoo.segformer import (SegformerISConfig,
+                                                     init_segformer_is,
+                                                     segformer_is_forward)
+    from pvpuformer_tpu.utils.serialization import flatten_tree
+    from pvpuformer_tpu.utils.torch_ingest import convert_mit_backbone
+
+    cfg = SegformerISConfig(embed_dims=(16, 32, 48, 64), depths=(1, 2, 1, 1),
+                            num_heads=(1, 2, 3, 4), head_channels=32)
+    r = np.random.default_rng(0)
+    sd = {}
+
+    def lin(name, i, o):
+        sd[f"{name}.weight"] = r.normal(0, 0.02, (o, i)).astype(np.float32)
+        sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+
+    def ln(name, c):
+        sd[f"{name}.weight"] = np.ones((c,), np.float32)
+        sd[f"{name}.bias"] = np.zeros((c,), np.float32)
+
+    def conv(name, i, o, kk):
+        sd[f"{name}.weight"] = r.normal(0, 0.02, (o, i, kk, kk)).astype(np.float32)
+        sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+
+    patch = [(7, 3), (3, 16), (3, 32), (3, 48)]
+    for i, d in enumerate(cfg.embed_dims):
+        kk, cin = patch[i]
+        conv(f"layers.{i}.0.projection", cin, d, kk)
+        ln(f"layers.{i}.0.norm", d)
+        for j in range(cfg.depths[i]):
+            b = f"layers.{i}.1.{j}"
+            ln(f"{b}.norm1", d)
+            sd[f"{b}.attn.attn.in_proj_weight"] = r.normal(
+                0, 0.02, (3 * d, d)).astype(np.float32)
+            sd[f"{b}.attn.attn.in_proj_bias"] = np.zeros((3 * d,), np.float32)
+            lin(f"{b}.attn.attn.out_proj", d, d)
+            if cfg.sr_ratios[i] > 1:
+                conv(f"{b}.attn.sr", d, d, cfg.sr_ratios[i])
+                ln(f"{b}.attn.norm", d)
+            ln(f"{b}.norm2", d)
+            hidden = int(d * cfg.mlp_ratio)
+            conv(f"{b}.ffn.layers.0", d, hidden, 1)
+            sd[f"{b}.ffn.layers.1.weight"] = r.normal(
+                0, 0.02, (hidden, 1, 3, 3)).astype(np.float32)
+            sd[f"{b}.ffn.layers.1.bias"] = np.zeros((hidden,), np.float32)
+            conv(f"{b}.ffn.layers.4", hidden, d, 1)
+        ln(f"layers.{i}.2", d)
+
+    backbone = convert_mit_backbone(sd, cfg)
+    want = init_segformer_is(jax.random.key(0), cfg)
+    f_ours = flatten_tree(backbone["stages"])
+    f_want = flatten_tree(want["stages"])
+    assert set(f_ours) == set(f_want), (
+        sorted(set(f_want) - set(f_ours))[:5],
+        sorted(set(f_ours) - set(f_want))[:5])
+    for kk_ in f_want:
+        assert np.shape(f_ours[kk_]) == np.shape(np.asarray(f_want[kk_])), kk_
+
+    params = dict(want)
+    params["stages"] = backbone["stages"]
+    img = jnp.zeros((1, 64, 64, 4))
+    pts = jnp.full((1, 8, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
+    out = segformer_is_forward(params, cfg, img, pts)
+    assert np.isfinite(np.asarray(out["instances"])).all()
