@@ -35,6 +35,9 @@ class SwinISConfig:
     window: int = 7
     mlp_ratio: float = 4.0
     head_channels: int = 128
+    patch_norm: bool = False     # LN after image patch embed (reference
+                                 # swin_transformer.py:439-456 default True;
+                                 # off by default to keep old ckpts loading)
     num_max_points: int = 24
     norm_radius: float = 5.0
     use_disks: bool = True
@@ -149,6 +152,8 @@ def init_swin_is(key, cfg: SwinISConfig) -> Dict[str, Any]:
                                                   init="torch"),
         "stages": [],
     }
+    if cfg.patch_norm:
+        params["patch_norm"] = nn.init_layer_norm(cfg.embed_dim)
     for i, depth in enumerate(cfg.depths):
         dim = cfg.stage_dims[i]
         kst = jax.random.fold_in(key, 10 + i)
@@ -177,6 +182,8 @@ def swin_is_forward(params, cfg: SwinISConfig, image: jnp.ndarray,
     rgb, coords = is_inputs(image, points, cfg.norm_radius, cfg.use_disks,
                             cfg.with_prev_mask, cfg.dtype)
     x = nn.patch_embed(params["patch_embed"], rgb, (4, 4))
+    if "patch_norm" in params:
+        x = nn.layer_norm(params["patch_norm"], x, 1e-5)
     x = x + nn.patch_embed(params["patch_embed_coords"], coords, (4, 4))
 
     h, w = rgb.shape[1] // 4, rgb.shape[2] // 4

@@ -478,3 +478,69 @@ def convert_plainvit_checkpoint(sd: Dict[str, np.ndarray],
                        "gn2": _gn(sd, "head.up_conv2.3")}
     params["head"] = head
     return params
+
+
+def convert_swin_backbone(sd: Dict[str, np.ndarray], cfg,
+                          prefix: str = "") -> Dict[str, Any]:
+    """Official Swin backbone weights -> zoo/swin params.
+
+    Name map over the reference's mmseg-style Swin backbone
+    (`isegm/model/modeling/swin_transformer.py:463-576`), which shares the
+    layout of the public Microsoft releases:
+      patch_embed.proj / patch_embed.norm
+      layers.{i}.blocks.{j}.norm1 / .attn.qkv / .attn.proj /
+                            .attn.relative_position_bias_table /
+                            .norm2 / .mlp.fc1 / .mlp.fc2
+      layers.{i}.downsample.norm / .reduction
+      norm{i} (segmentation ckpts) or a single final norm (classification
+      ckpts; missing stage norms stay identity).
+
+    Returns the backbone portion ({"patch_embed", "patch_norm"?, "stages"})
+    matching init_swin_is with cfg.patch_norm=True; coord patch embed and
+    head params are trained from scratch (the reference routes coords
+    through the pretrained RGB embed, swin_transformer.py:619-623 — we keep
+    a separate coord embed like the ViT models). Buffers
+    (relative_position_index, attn_mask) are ignored.
+    """
+    def k(n):
+        return f"{prefix}{n}"
+
+    out: Dict[str, Any] = {
+        "patch_embed": conv_to_patch_embed(
+            _t(sd[k("patch_embed.proj.weight")]),
+            _t(sd[k("patch_embed.proj.bias")])),
+    }
+    if k("patch_embed.norm.weight") in sd:
+        out["patch_norm"] = _gn(sd, k("patch_embed.norm"))
+
+    stages = []
+    for i, depth in enumerate(cfg.depths):
+        base = k(f"layers.{i}")
+        blocks = []
+        for j in range(depth):
+            b = f"{base}.blocks.{j}"
+            blocks.append({
+                "norm1": _gn(sd, f"{b}.norm1"),
+                "qkv": _lin(sd, f"{b}.attn.qkv"),
+                "proj": _lin(sd, f"{b}.attn.proj"),
+                "rel_bias": _t(
+                    sd[f"{b}.attn.relative_position_bias_table"]),
+                "norm2": _gn(sd, f"{b}.norm2"),
+                "mlp": {"fc1": _lin(sd, f"{b}.mlp.fc1"),
+                        "fc2": _lin(sd, f"{b}.mlp.fc2")},
+            })
+        stage: Dict[str, Any] = {"blocks": blocks}
+        dim = cfg.stage_dims[i]
+        if k(f"norm{i}.weight") in sd:
+            stage["norm"] = _gn(sd, k(f"norm{i}"))
+        elif i == len(cfg.depths) - 1 and k("norm.weight") in sd:
+            stage["norm"] = _gn(sd, k("norm"))
+        else:
+            stage["norm"] = {"scale": np.ones((dim,), np.float32),
+                             "bias": np.zeros((dim,), np.float32)}
+        if f"{base}.downsample.reduction.weight" in sd:
+            stage["merge"] = {"norm": _gn(sd, f"{base}.downsample.norm"),
+                              "lin": _lin(sd, f"{base}.downsample.reduction")}
+        stages.append(stage)
+    out["stages"] = stages
+    return out

@@ -102,6 +102,8 @@ def maybe_interp_pos_embed(params, mcfg, crop):
     """Eval-time pos-embed re-interpolation (pos_embed.py:99-128)."""
     import dataclasses
     from pvpuformer_tpu.utils.torch_ingest import interpolate_pos_embed_np
+    if not hasattr(mcfg, "backbone"):   # zoo configs have no pos embed
+        return params, mcfg
     if mcfg.backbone.img_size == crop:
         return params, mcfg
     src = mcfg.backbone.grid_size
@@ -156,7 +158,11 @@ def main() -> None:
             si, sn = (int(v) for v in args.shard.split("/"))
             dataset = _sharded(dataset, si, sn)
 
-        crop = DATASET_ZOOM.get(name, tuple(mcfg.backbone.img_size))
+        # VPU-style configs carry the trained crop; conv/Swin zoo configs
+        # are size-agnostic — default their zoom-in target to 448².
+        default_crop = tuple(mcfg.backbone.img_size) \
+            if hasattr(mcfg, "backbone") else (448, 448)
+        crop = DATASET_ZOOM.get(name, default_crop)
         ds_params, ds_mcfg = maybe_interp_pos_embed(params, mcfg, crop)
         pcfg = PredictorConfig(model=ds_mcfg, target_size=crop,
                                with_flip=True, prob_thresh=args.thresh,

@@ -522,3 +522,100 @@ def test_mit_backbone_ingest():
     pts = jnp.full((1, 8, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
     out = segformer_is_forward(params, cfg, img, pts)
     assert np.isfinite(np.asarray(out["instances"])).all()
+
+
+def test_swin_backbone_ingest():
+    """Official-layout Swin weights -> zoo/swin, with a torch oracle for one
+    full block (validates qkv packing, rel-bias table, every transpose)."""
+    import torch
+    import torch.nn.functional as F
+    from pvpuformer_tpu.models.zoo.swin import (SwinISConfig, init_swin_is,
+                                                swin_is_forward, _block,
+                                                _rel_index)
+    from pvpuformer_tpu.utils.serialization import flatten_tree
+    from pvpuformer_tpu.utils.torch_ingest import convert_swin_backbone
+
+    cfg = SwinISConfig(embed_dim=16, depths=(1, 1), num_heads=(2, 4),
+                       window=4, head_channels=16, patch_norm=True)
+    r = np.random.default_rng(0)
+    sd = {}
+
+    def lin(name, i, o, bias=True):
+        sd[f"{name}.weight"] = r.normal(0, 0.05, (o, i)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = r.normal(0, 0.02, (o,)).astype(np.float32)
+
+    def ln(name, c):
+        sd[f"{name}.weight"] = r.normal(1, 0.05, (c,)).astype(np.float32)
+        sd[f"{name}.bias"] = r.normal(0, 0.02, (c,)).astype(np.float32)
+
+    sd["patch_embed.proj.weight"] = r.normal(
+        0, 0.05, (16, 3, 4, 4)).astype(np.float32)
+    sd["patch_embed.proj.bias"] = np.zeros((16,), np.float32)
+    ln("patch_embed.norm", 16)
+    for i, d in enumerate(cfg.stage_dims):
+        for j in range(cfg.depths[i]):
+            b = f"layers.{i}.blocks.{j}"
+            ln(f"{b}.norm1", d)
+            lin(f"{b}.attn.qkv", d, 3 * d)
+            lin(f"{b}.attn.proj", d, d)
+            sd[f"{b}.attn.relative_position_bias_table"] = r.normal(
+                0, 0.02, ((2 * cfg.window - 1) ** 2,
+                          cfg.num_heads[i])).astype(np.float32)
+            ln(f"{b}.norm2", d)
+            lin(f"{b}.mlp.fc1", d, 4 * d)
+            lin(f"{b}.mlp.fc2", 4 * d, d)
+        ln(f"norm{i}", d)
+        if i < len(cfg.depths) - 1:
+            ln(f"layers.{i}.downsample.norm", 4 * d)
+            lin(f"layers.{i}.downsample.reduction", 4 * d, 2 * d, bias=False)
+
+    backbone = convert_swin_backbone(sd, cfg)
+    want = init_swin_is(jax.random.key(0), cfg)
+    keys = ("patch_embed", "patch_norm", "stages")
+    f_ours = flatten_tree({k: backbone[k] for k in keys})
+    f_want = flatten_tree({k: want[k] for k in keys})
+    assert set(f_ours) == set(f_want), (
+        sorted(set(f_want) - set(f_ours))[:5],
+        sorted(set(f_ours) - set(f_want))[:5])
+    for kk in f_want:
+        assert np.shape(f_ours[kk]) == np.shape(np.asarray(f_want[kk])), kk
+
+    # --- torch oracle: stage-0 block, one 4x4 window, no shift -----------
+    d, heads, ww = 16, cfg.num_heads[0], cfg.window
+    n = ww * ww
+    x = r.normal(0, 1, (1, n, d)).astype(np.float32)
+    b = "layers.0.blocks.0"
+    t = {k: torch.tensor(v) for k, v in sd.items()}
+    xt = torch.tensor(x)
+    h = F.layer_norm(xt, (d,), t[f"{b}.norm1.weight"],
+                     t[f"{b}.norm1.bias"], eps=1e-5)
+    qkv = (h @ t[f"{b}.attn.qkv.weight"].T + t[f"{b}.attn.qkv.bias"])
+    qkv = qkv.reshape(1, n, 3, heads, d // heads).permute(2, 0, 3, 1, 4)
+    q, kk_, v = qkv[0], qkv[1], qkv[2]
+    attn = (q * (d // heads) ** -0.5) @ kk_.transpose(-2, -1)
+    idx = torch.tensor(_rel_index(ww).reshape(-1).astype(np.int64))
+    bias = t[f"{b}.attn.relative_position_bias_table"][idx]
+    attn = attn + bias.view(n, n, heads).permute(2, 0, 1)[None]
+    out = (attn.softmax(-1) @ v).transpose(1, 2).reshape(1, n, d)
+    out = out @ t[f"{b}.attn.proj.weight"].T + t[f"{b}.attn.proj.bias"]
+    xt = xt + out
+    h = F.layer_norm(xt, (d,), t[f"{b}.norm2.weight"],
+                     t[f"{b}.norm2.bias"], eps=1e-5)
+    h = F.gelu(h @ t[f"{b}.mlp.fc1.weight"].T + t[f"{b}.mlp.fc1.bias"],
+               approximate="tanh")
+    xt = xt + (h @ t[f"{b}.mlp.fc2.weight"].T + t[f"{b}.mlp.fc2.bias"])
+
+    ours = _block(backbone["stages"][0]["blocks"][0], jnp.asarray(x),
+                  (ww, ww), heads, ww, 0, 4.0)
+    np.testing.assert_allclose(np.asarray(ours), xt.numpy(),
+                               atol=2e-5, rtol=1e-4)
+
+    # --- end-to-end forward with ingested backbone -----------------------
+    params = dict(want)
+    for k in keys:
+        params[k] = backbone[k]
+    img = jnp.zeros((1, 64, 64, 4))
+    pts = jnp.full((1, 8, 3), -1.0).at[0, 0].set(jnp.asarray([30.0, 30.0, 0]))
+    out2 = swin_is_forward(params, cfg, img, pts)
+    assert np.isfinite(np.asarray(out2["instances"])).all()
