@@ -492,6 +492,10 @@ def get_predictor(params, cfg: PredictorConfig, brs_mode: str = "NoBRS",
     mode = brs_mode.lower()
     if mode == "nobrs":
         return Predictor(params, cfg)
+    if not hasattr(cfg.model, "backbone"):
+        raise ValueError(
+            f"BRS modes need a VPU/PlainVit-style model (backbone token "
+            f"access); got {type(cfg.model).__name__} — use NoBRS")
     insertion = {"f-brs-a": "tokens", "f-brs": "tokens",
                  "f-brs-b": "neck", "f-brs-c": "head"}.get(mode)
     if insertion is not None:

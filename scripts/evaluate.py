@@ -167,11 +167,17 @@ def main() -> None:
         pcfg = PredictorConfig(model=ds_mcfg, target_size=crop,
                                with_flip=True, prob_thresh=args.thresh,
                                skip_clicks=-1, prompt_mode=args.prompt_mode)
-        predictor = Predictor(ds_params, pcfg)
+        if args.mode.lower() == "nobrs":
+            predictor = Predictor(ds_params, pcfg)
+        else:
+            from pvpuformer_tpu.inference.brs import get_predictor
+            predictor = get_predictor(ds_params, pcfg, brs_mode=args.mode)
 
         vis_callback = _make_vis_callback(logs_dir / "vis" / name) \
             if args.vis_preds else None
         if args.batched > 0 and vis_callback is None:
+            assert args.mode.lower() == "nobrs", \
+                "--batched supports NoBRS only"
             from pvpuformer_tpu.inference.batched import BatchedEvaluator
             bev = BatchedEvaluator(ds_params, pcfg, batch_size=args.batched)
             all_ious, elapsed, stats = bev.evaluate(
