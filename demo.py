@@ -50,7 +50,8 @@ def build_controller(args):
         assert args.random_weights, "--checkpoint or --random-weights"
         mcfg = vpu_base_config(dtype=dtype)
         params = init_vpu(jax.random.key(0), mcfg)
-    ts = mcfg.backbone.img_size if hasattr(mcfg, "backbone") else (448, 448)
+    ts = mcfg.backbone.img_size if hasattr(mcfg, "backbone") \
+        else (args.target_size, args.target_size)
     pcfg = PredictorConfig(model=mcfg, target_size=ts,
                            prob_thresh=0.49)
     return InteractiveController(params, pcfg, prob_thresh=args.prob_thresh)

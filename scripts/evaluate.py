@@ -160,9 +160,17 @@ def main() -> None:
 
         # VPU-style configs carry the trained crop; conv/Swin zoo configs
         # are size-agnostic — default their zoom-in target to 448².
+        # "fixedH[,W]" overrides the per-dataset zoom targets
+        # (evaluate_vpumodel.py:188-202); "cvpr" keeps them.
         default_crop = tuple(mcfg.backbone.img_size) \
             if hasattr(mcfg, "backbone") else (448, 448)
-        crop = DATASET_ZOOM.get(name, default_crop)
+        if args.eval_mode.startswith("fixed"):
+            sizes = args.eval_mode.split(",")
+            ch = int(sizes[0][5:])
+            cw = int(sizes[1]) if len(sizes) == 2 else ch
+            crop = (ch, cw)
+        else:
+            crop = DATASET_ZOOM.get(name, default_crop)
         ds_params, ds_mcfg = maybe_interp_pos_embed(params, mcfg, crop)
         pcfg = PredictorConfig(model=ds_mcfg, target_size=crop,
                                with_flip=True, prob_thresh=args.thresh,
@@ -225,7 +233,8 @@ def main() -> None:
             miou = mean_iou_per_click(all_ious, max_clicks=args.n_clicks)
             print("mIoU@k:", np.array2string(miou, precision=4))
         if args.save_ious or args.iou_analysis:
-            out = logs_dir / f"{name}_{args.mode}_{args.n_clicks}.pickle"
+            out = logs_dir / (f"{name}_{args.eval_mode}_{args.mode}"
+                              f"_{args.n_clicks}.pickle")
             with open(out, "wb") as f:
                 pickle.dump({"all_ious": all_ious, "dataset": name,
                              "mode": args.mode}, f)
