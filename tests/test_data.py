@@ -226,3 +226,67 @@ def test_sbd_disk_format(tmp_path):
                          points_sampler=MultiPointSampler(4, prob_gamma=0.8))
     raw = ds.get_raw_sample(0)
     assert len(raw.masks) == 2
+
+
+def test_eval_dataset_formats(tmp_path):
+    """On-disk fixtures in each real dataset layout parse via get_dataset."""
+    from PIL import Image
+    from scipy.io import savemat
+    from pvpuformer_tpu.inference.datasets import get_dataset
+
+    r = np.random.default_rng(3)
+
+    def img(p, h=80, w=100):
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(r.integers(0, 255, (h, w, 3)).astype(np.uint8)).save(p)
+
+    def mask(p, ignore=None, h=80, w=100):
+        p.parent.mkdir(parents=True, exist_ok=True)
+        m = np.zeros((h, w), np.uint8)
+        m[20:60, 30:70] = 255
+        if ignore is not None:
+            m[20:22, 30:70] = ignore
+        Image.fromarray(m).save(p)
+
+    g = tmp_path / "GrabCut"
+    img(g / "data_GT" / "pic1.bmp")
+    mask(g / "boundary_GT" / "pic1.bmp", ignore=128)
+    b = tmp_path / "Berkeley"
+    img(b / "images" / "im1.jpg")
+    mask(b / "masks" / "im1.png")
+    d = tmp_path / "DAVIS"
+    img(d / "img" / "f0.jpg")
+    mask(d / "gt" / "f0.png")
+    v = tmp_path / "VOC2012"
+    img(v / "JPEGImages" / "2007_000001.jpg")
+    so = np.zeros((80, 100), np.uint8)
+    so[20:40, 30:70] = 1
+    so[45:60, 30:70] = 2
+    so[40:42, 30:70] = 255
+    (v / "SegmentationObject").mkdir(parents=True)
+    Image.fromarray(so).save(v / "SegmentationObject" / "2007_000001.png")
+    (v / "ImageSets" / "Segmentation").mkdir(parents=True)
+    (v / "ImageSets" / "Segmentation" / "val.txt").write_text("2007_000001\n")
+    s = tmp_path / "SBD"
+    img(s / "img" / "x1.jpg")
+    inst = np.zeros((80, 100), np.uint8)
+    inst[20:60, 30:70] = 1
+    (s / "inst").mkdir(parents=True)
+    savemat(str(s / "inst" / "x1.mat"),
+            {"GTinst": np.array([[(inst,)]], dtype=[("Segmentation", "O")])})
+    (s / "val.txt").write_text("x1\n")
+
+    expect = {"GrabCut": (g, 1), "Berkeley": (b, 1), "DAVIS": (d, 1),
+              "PascalVOC": (v, 2), "SBD": (s, 1)}
+    for name, (root, n_objs) in expect.items():
+        ds = get_dataset(name, root)
+        assert len(ds) == 1, name
+        sample = ds.get_sample(0)
+        assert sample.image.shape == (80, 100, 3), name
+        assert len(sample.objects_ids) == n_objs, name
+        for oid in sample.objects_ids:
+            gt = sample.gt_mask(oid)
+            assert gt.shape == (80, 100) and gt.sum() > 0, (name, oid)
+    # GrabCut ignore band maps to -1 in the raw mask
+    raw = get_dataset("GrabCut", g).get_sample(0).masks[0]
+    assert (raw == -1).any()
