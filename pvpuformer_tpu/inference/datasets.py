@@ -156,6 +156,95 @@ class SBDEvaluationDataset(EvalDataset):
         return DSample(image=image, masks=masks)
 
 
+class BraTSDataset(ImageMaskDataset):
+    """BraTS20 2-D slice export (`inference/utils.py:64-65`,
+    `config.yml:9`). The reference's loader was never published; layout is
+    our spec: `images/*.png` + `masks/*.png` slice pairs, mask nonzero =
+    tumor."""
+
+    def __init__(self, root):
+        super().__init__(root, "images", "masks", ignore_value=None)
+
+
+class ssTEMDataset(ImageMaskDataset):
+    """ssTEM drosophila VNC stack (`inference/utils.py:66-67`; the
+    reference points at `groundtruth-drosophila-vnc/stack1`, `config.yml:10`,
+    whose published structure is `raw/` EM slices + per-structure label
+    dirs). We evaluate on the mitochondria labels, per the SimpleClick
+    medical protocol this path descends from."""
+
+    def __init__(self, root):
+        super().__init__(root, "raw", "mitochondria", ignore_value=None)
+
+
+class OAIZIBDataset(EvalDataset):
+    """OAI-ZIB knee-MRI slices (`inference/utils.py:68-69`, `config.yml:11`).
+    Layout (our spec): `images/*.png` + `masks/*.png`; mask labels 1..4
+    (femoral/tibial bone + cartilage) each become an instance."""
+
+    def __init__(self, root):
+        self.root = Path(root)
+        self.images = sorted((self.root / "images").glob("*.*"))
+        assert self.images, f"no images under {self.root / 'images'}"
+
+    def __len__(self):
+        return len(self.images)
+
+    def get_sample(self, index: int) -> DSample:
+        ipath = self.images[index]
+        image = _imread(ipath)
+        cands = list((self.root / "masks").glob(ipath.stem + ".*"))
+        assert cands, f"no mask for {ipath}"
+        raw = _maskread(cands[0])
+        if raw.ndim == 3:
+            raw = raw[..., 0]
+        masks = {}
+        for obj_id in np.unique(raw):
+            if obj_id == 0:
+                continue
+            masks[int(obj_id)] = (raw == obj_id).astype(np.int32)
+        return DSample(image=image, masks=masks)
+
+
+class HARDDataset(ImageMaskDataset):
+    """'HARD' cases set (`inference/utils.py:70-71`; its path is commented
+    out of the reference config, `config.yml:13`). Generic `images/` +
+    `masks/` layout."""
+
+    def __init__(self, root):
+        super().__init__(root, "images", "masks", ignore_value=None)
+
+
+class ADE20kDataset(EvalDataset):
+    """ADE20k SceneParsing instances (`inference/utils.py:72-73`).
+    ADEChallengeData2016 layout: `images/<split>/*.jpg` +
+    `annotations_instance/<split>/*.png` where the annotation PNG encodes
+    class in channel R and instance id in channel G."""
+
+    def __init__(self, root, split: str = "val"):
+        self.root = Path(root)
+        subdir = {"val": "validation", "train": "training"}.get(split, split)
+        self.subdir = subdir
+        self.images = sorted((self.root / "images" / subdir).glob("*.jpg"))
+        assert self.images, f"no images under {self.root / 'images' / subdir}"
+
+    def __len__(self):
+        return len(self.images)
+
+    def get_sample(self, index: int) -> DSample:
+        ipath = self.images[index]
+        image = _imread(ipath)
+        ann = _maskread(self.root / "annotations_instance" / self.subdir
+                        / (ipath.stem + ".png"))
+        inst = ann[..., 1] if ann.ndim == 3 else ann
+        masks = {}
+        for obj_id in np.unique(inst):
+            if obj_id == 0:
+                continue
+            masks[int(obj_id)] = (inst == obj_id).astype(np.int32)
+        return DSample(image=image, masks=masks)
+
+
 class SyntheticDataset(EvalDataset):
     """Deterministic in-memory dataset for tests and smoke benchmarks:
     random images with ellipse/rectangle objects."""
@@ -187,13 +276,22 @@ DATASET_REGISTRY: Dict[str, Callable] = {
     "COCO_MVal": DavisDataset,
     "PascalVOC": PascalVocDataset,
     "SBD": SBDEvaluationDataset,
+    "SBD_Train": SBDEvaluationDataset,
+    "BraTS": BraTSDataset,
+    "ssTEM": ssTEMDataset,
+    "OAIZIB": OAIZIBDataset,
+    "HARD": HARDDataset,
+    "ADE20K": ADE20kDataset,
     "Synthetic": SyntheticDataset,
 }
 
 
 def get_dataset(name: str, path=None, **kwargs) -> EvalDataset:
-    """inference/utils.py:49-77 equivalent."""
+    """inference/utils.py:48-76 equivalent (same dataset-name dispatch,
+    incl. SBD_Train = SBD train split, ADE20K val split)."""
     cls = DATASET_REGISTRY[name]
     if name == "Synthetic":
         return cls(**kwargs)
+    if name == "SBD_Train":
+        return cls(path, split="train", **kwargs)
     return cls(path, **kwargs)

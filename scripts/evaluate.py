@@ -78,6 +78,9 @@ DATASET_PATH_KEYS = {
     "GrabCut": "GRABCUT_PATH", "Berkeley": "BERKELEY_PATH",
     "DAVIS": "DAVIS_PATH", "COCO_MVal": "COCO_MVAL_PATH",
     "PascalVOC": "PASCALVOC_PATH", "SBD": "SBD_EVAL_PATH",
+    "SBD_Train": "SBD_EVAL_PATH", "BraTS": "BraTS_PATH",
+    "ssTEM": "ssTEM_PATH", "OAIZIB": "OAIZIB_PATH",
+    "HARD": "HARD_PATH", "ADE20K": "ADE20K_PATH",
 }
 
 

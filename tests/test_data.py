@@ -290,3 +290,64 @@ def test_eval_dataset_formats(tmp_path):
     # GrabCut ignore band maps to -1 in the raw mask
     raw = get_dataset("GrabCut", g).get_sample(0).masks[0]
     assert (raw == -1).any()
+
+
+def test_extra_eval_dataset_formats(tmp_path):
+    """BraTS/ssTEM/OAIZIB/HARD/ADE20K/SBD_Train layouts (inference/utils.py:
+    56-73 dispatch names) parse via get_dataset."""
+    from PIL import Image
+    from scipy.io import savemat
+    from pvpuformer_tpu.inference.datasets import get_dataset
+
+    r = np.random.default_rng(7)
+
+    def img(p, h=60, w=90):
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(r.integers(0, 255, (h, w, 3)).astype(np.uint8)).save(p)
+
+    def mask(p, vals=((slice(10, 40), slice(20, 60), 255),), h=60, w=90):
+        p.parent.mkdir(parents=True, exist_ok=True)
+        m = np.zeros((h, w), np.uint8)
+        for sy, sx, v in vals:
+            m[sy, sx] = v
+        Image.fromarray(m).save(p)
+
+    for name, idir, mdir in [("BraTS", "images", "masks"),
+                             ("ssTEM", "raw", "mitochondria"),
+                             ("HARD", "images", "masks")]:
+        root = tmp_path / name
+        img(root / idir / "s0.png")
+        mask(root / mdir / "s0.png")
+        ds = get_dataset(name, root)
+        assert len(ds) == 1
+        sample = ds.get_sample(0)
+        assert sample.image.shape == (60, 90, 3)
+        assert sample.gt_mask(sample.objects_ids[0]).sum() > 0, name
+
+    o = tmp_path / "OAIZIB"
+    img(o / "images" / "k0.png")
+    mask(o / "masks" / "k0.png", vals=((slice(5, 20), slice(10, 40), 1),
+                                       (slice(30, 50), slice(50, 80), 3)))
+    sample = get_dataset("OAIZIB", o).get_sample(0)
+    assert sorted(sample.objects_ids) == [1, 3]
+    assert sample.gt_mask(3).sum() == 20 * 30
+
+    a = tmp_path / "ADE"
+    img(a / "images" / "validation" / "ADE_val_1.jpg")
+    ann = np.zeros((60, 90, 3), np.uint8)
+    ann[10:30, 10:40] = (12, 1, 0)   # class 12, instance 1
+    ann[35:55, 50:80] = (12, 2, 0)   # class 12, instance 2
+    (a / "annotations_instance" / "validation").mkdir(parents=True)
+    Image.fromarray(ann).save(a / "annotations_instance" / "validation" / "ADE_val_1.png")
+    sample = get_dataset("ADE20K", a).get_sample(0)
+    assert sorted(sample.objects_ids) == [1, 2]
+
+    s = tmp_path / "SBDT"
+    img(s / "img" / "t1.jpg")
+    inst = np.zeros((60, 90), np.uint8)
+    inst[10:30, 10:40] = 1
+    (s / "inst").mkdir(parents=True)
+    savemat(str(s / "inst" / "t1.mat"),
+            {"GTinst": np.array([[(inst,)]], dtype=[("Segmentation", "O")])})
+    (s / "train.txt").write_text("t1\n")
+    assert len(get_dataset("SBD_Train", s)) == 1
