@@ -85,29 +85,29 @@ def init_neck(key, cfg: NeckConfig) -> Dict[str, Any]:
 
 def _down4(p, x):
     x = nn.deconv2x2(p["deconv1"], x)
-    x = jax.nn.gelu(nn.group_norm1(p["gn1"], x))
+    x = nn.gelu(nn.group_norm1(p["gn1"], x))
     x = nn.deconv2x2(p["deconv2"], x)
     x = nn.group_norm1(p["gn2"], x)
     x = nn.conv1x1(p["conv"], x)
-    return jax.nn.gelu(nn.group_norm1(p["gn3"], x))
+    return nn.gelu(nn.group_norm1(p["gn3"], x))
 
 
 def _down8(p, x):
     x = nn.deconv2x2(p["deconv"], x)
     x = nn.group_norm1(p["gn1"], x)
     x = nn.conv1x1(p["conv"], x)
-    return jax.nn.gelu(nn.group_norm1(p["gn2"], x))
+    return nn.gelu(nn.group_norm1(p["gn2"], x))
 
 
 def _down16(p, x):
-    return jax.nn.gelu(nn.group_norm1(p["gn"], nn.conv1x1(p["conv"], x)))
+    return nn.gelu(nn.group_norm1(p["gn"], nn.conv1x1(p["conv"], x)))
 
 
 def _down32(p, x):
     x = nn.conv2d(p["conv1"], x, stride=2, padding="VALID")
     x = nn.group_norm1(p["gn1"], x)
     x = nn.conv1x1(p["conv2"], x)
-    return jax.nn.gelu(nn.group_norm1(p["gn2"], x))
+    return nn.gelu(nn.group_norm1(p["gn2"], x))
 
 
 def neck_forward(params, cfg: NeckConfig, x: jnp.ndarray, q: jnp.ndarray,

@@ -75,7 +75,7 @@ def _up_stage(p, x):
     x = nn.deconv2x2(p["deconv"], x)
     x = nn.group_norm1(p["gn1"], x)
     x = nn.conv1x1(p["conv"], x)
-    return jax.nn.gelu(nn.group_norm1(p["gn2"], x))
+    return nn.gelu(nn.group_norm1(p["gn2"], x))
 
 
 def _fuse(params, cfg: HeadConfig, inputs: List[jnp.ndarray]) -> jnp.ndarray:

@@ -87,7 +87,8 @@ def encode_text(params, cfg: ClipTextConfig,
     x = params["token_embedding"][tokens] + params["pos_embedding"]
     for p in params["blocks"]:
         x = x + _causal_attn(p, nn.layer_norm(p["ln1"], x, 1e-5), cfg.heads)
-        x = x + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], x, 1e-5))
+        x = x + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], x, 1e-5),
+                       act=nn.quick_gelu)   # clip.py:250 QuickGELU
     x = nn.layer_norm(params["ln_final"], x, 1e-5)
     eot = jnp.argmax(tokens, axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]

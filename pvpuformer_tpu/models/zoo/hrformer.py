@@ -138,7 +138,7 @@ def _unit(p, x: jnp.ndarray, heads: int, window: int,
         feature_group_count=t.shape[-1],
         preferred_element_type=jnp.float32).astype(t.dtype) + \
         p["dw"]["b"].astype(t.dtype)
-    t = nn.linear(p["fc2"], jax.nn.gelu(t.reshape(b, h * w, -1)))
+    t = nn.linear(p["fc2"], nn.gelu(t.reshape(b, h * w, -1)))
     return res + t.reshape(b, h, w, c)
 
 

@@ -113,7 +113,7 @@ def _block(p, x: jnp.ndarray, hw: Tuple[int, int], heads: int,
     y = nn.layer_norm(p["norm2"], x, 1e-6)
     y = nn.linear(p["fc1"], y)
     y = _dwconv(p["dw"], y.reshape(b, h, w, -1)).reshape(b, n, -1)
-    y = nn.linear(p["fc2"], jax.nn.gelu(y))
+    y = nn.linear(p["fc2"], nn.gelu(y))
     return res + y
 
 

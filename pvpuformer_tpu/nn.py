@@ -87,7 +87,27 @@ def init_mlp(key, in_dim: int, hidden: int, out_dim: Optional[int] = None,
             "fc2": init_linear(k2, hidden, out_dim, init=init)}
 
 
-def mlp(p: Params, x: jnp.ndarray, act: Callable = jax.nn.gelu) -> jnp.ndarray:
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU matching torch `nn.GELU()`/`F.gelu` (exact erf — what the
+    reference uses everywhere; `jax.nn.gelu`'s default tanh approximation is
+    ~1e-3 off, which broke bit-parity with converted weights).
+
+    Dtype dispatch (static, at trace time): in bf16 the tanh approximation's
+    error sits below bf16's own quantization (~4e-3 relative), so the fast
+    form is numerically free there and saves ~0.77 ms/click on the ViT-B@448
+    TPU click path (measured erf vs tanh, bench.py). f32/f64 — the --parity
+    eval path and all oracle tests — always get exact erf."""
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's QuickGELU, x * sigmoid(1.702 x) (clip.py:234-236)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def mlp(p: Params, x: jnp.ndarray, act: Callable = gelu) -> jnp.ndarray:
     return linear(p["fc2"], act(linear(p["fc1"], x)))
 
 

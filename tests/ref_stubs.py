@@ -1,0 +1,202 @@
+"""Minimal faithful stand-ins for third-party packages the reference imports
+but this image lacks (mmcv, timm, easydict, torchvision), so tests can import
+and RUN the reference's own torch modules from /root/reference for direct
+numerical comparison.
+
+Only the code paths the reference actually exercises are implemented with
+real math (ConvModule with norm_cfg=None -> conv + ReLU, the only
+configuration its heads use — swin_transformer.py:683-696,
+transformer_helper/decode_head.py:55-56); everything else is import-surface
+only and raises if called.
+"""
+from __future__ import annotations
+
+import logging
+import sys
+import types
+
+
+def _module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    return mod
+
+
+def install() -> None:
+    """Idempotently register easydict/timm/mmcv/torchvision stubs."""
+    if "mmcv" in sys.modules and getattr(sys.modules["mmcv"], "_pvpu_stub", False):
+        return
+    import torch
+    import torch.nn as nn
+
+    # --- easydict ---------------------------------------------------------
+    if "easydict" not in sys.modules:
+        ed = _module("easydict")
+
+        class EasyDict(dict):
+            """Attribute-style dict (what the reference uses for configs)."""
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        ed.EasyDict = EasyDict
+
+    # --- timm.models.layers -------------------------------------------------
+    if "timm" not in sys.modules:
+        timm = _module("timm")
+        timm_models = _module("timm.models")
+        layers = _module("timm.models.layers")
+        timm.models = timm_models
+        timm_models.layers = layers
+
+        class DropPath(nn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob or 0.0
+
+            def forward(self, x):
+                if self.drop_prob == 0.0 or not self.training:
+                    return x
+                keep = 1 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+                return x.div(keep) * mask.floor_()
+
+        def to_2tuple(v):
+            return v if isinstance(v, (tuple, list)) else (v, v)
+
+        layers.DropPath = DropPath
+        layers.to_2tuple = to_2tuple
+        layers.trunc_normal_ = nn.init.trunc_normal_
+
+    # --- torchvision (import-only in swin_transformer_helper/checkpoint.py) -
+    if "torchvision" not in sys.modules:
+        _module("torchvision")
+
+    # --- mmcv ----------------------------------------------------------------
+    mmcv = _module("mmcv")
+    mmcv._pvpu_stub = True
+    mmcv.jit = lambda **kw: (lambda f: f)
+
+    def mkdir_or_exist(p):
+        import os
+        os.makedirs(p, exist_ok=True)
+
+    mmcv.mkdir_or_exist = mkdir_or_exist
+
+    class Registry:
+        def __init__(self, name, parent=None, build_func=None, scope=None):
+            self.name = name
+            self._modules = {}
+
+        def register_module(self, name=None, force=False, module=None):
+            if module is not None:
+                self._modules[name or module.__name__] = module
+                return module
+
+            def deco(cls):
+                self._modules[name or cls.__name__] = cls
+                return cls
+
+            return deco
+
+        def get(self, key):
+            return self._modules.get(key)
+
+    def build_from_cfg(cfg, registry, default_args=None):
+        args = dict(cfg)
+        cls = registry.get(args.pop("type"))
+        if default_args:
+            args.update(default_args)
+        return cls(**args)
+
+    def get_logger(name="mmcv", **kw):
+        return logging.getLogger(name)
+
+    mutils = _module("mmcv.utils")
+    mutils.Registry = Registry
+    mutils.build_from_cfg = build_from_cfg
+    mutils.get_logger = get_logger
+    mutils.mkdir_or_exist = mkdir_or_exist
+    mmcv.utils = mutils
+
+    class ConvModule(nn.Module):
+        """conv -> (norm) -> act. The reference only instantiates it with
+        norm_cfg=None and act_cfg ReLU/None (decode_head.py:55-56)."""
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, groups=1, bias="auto",
+                     conv_cfg=None, norm_cfg=None, act_cfg=dict(type="ReLU"),
+                     **kw):
+            super().__init__()
+            assert norm_cfg is None, "stub implements only norm_cfg=None"
+            use_bias = bias if isinstance(bias, bool) else (norm_cfg is None)
+            self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                                  stride, padding, dilation, groups,
+                                  bias=use_bias)
+            self.with_activation = bool(act_cfg)
+            if self.with_activation:
+                assert act_cfg.get("type") == "ReLU", act_cfg
+                self.activate = nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self.with_activation:
+                x = self.activate(x)
+            return x
+
+    def _unused(*a, **k):
+        raise NotImplementedError("stubbed mmcv API not on the tested path")
+
+    mcnn = _module("mmcv.cnn")
+    mcnn.ConvModule = ConvModule
+    mcnn.build_conv_layer = _unused
+    mcnn.build_norm_layer = _unused
+    mcnn.MODELS = Registry("mmcv-models")
+    mmcv.cnn = mcnn
+
+    bricks = _module("mmcv.cnn.bricks")
+    bricks_reg = _module("mmcv.cnn.bricks.registry")
+    bricks_reg.ATTENTION = Registry("attention")
+    bricks.registry = bricks_reg
+    mcnn.bricks = bricks
+
+    class BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+            self.init_cfg = init_cfg
+
+        def init_weights(self):
+            pass
+
+    def _deco_with_args(**kw):
+        def outer(*a, **k):
+            if len(a) == 1 and callable(a[0]) and not k:
+                return a[0]
+            return lambda f: f
+        return outer
+
+    mrunner = _module("mmcv.runner")
+    mrunner.BaseModule = BaseModule
+    mrunner.auto_fp16 = _deco_with_args()
+    mrunner.force_fp32 = _deco_with_args()
+    mrunner.get_dist_info = lambda: (0, 1)
+    mmcv.runner = mrunner
+    mbase = _module("mmcv.runner.base_module")
+    mbase.BaseModule = BaseModule
+    mrunner.base_module = mbase
+
+    mfileio = _module("mmcv.fileio")
+    mfileio.FileClient = _unused
+    mfileio.load = _unused
+    mmcv.fileio = mfileio
+
+    mparallel = _module("mmcv.parallel")
+    mparallel.is_module_wrapper = lambda m: False
+    mmcv.parallel = mparallel
