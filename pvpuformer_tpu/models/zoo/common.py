@@ -44,7 +44,7 @@ def init_conv_bn(key, kh, kw, cin, cout, bias: bool = False) -> Dict[str, Any]:
 
 
 def conv_bn_relu(p, x, stride: int = 1, relu: bool = True,
-                 padding="SAME") -> jnp.ndarray:
+                 padding="TORCH") -> jnp.ndarray:
     y = frozen_bn(p["bn"], nn.conv2d(p["conv"], x, stride=stride,
                                      padding=padding))
     return jax.nn.relu(y) if relu else y

@@ -150,7 +150,7 @@ def init_segformer_is(key, cfg: SegformerISConfig) -> Dict[str, Any]:
 
 
 def _stage_patch(stage, x: jnp.ndarray, k: int, s: int) -> jnp.ndarray:
-    y = nn.conv2d(stage["patch"], x, stride=s, padding="SAME")
+    y = nn.conv2d(stage["patch"], x, stride=s)
     b, h, w, d = y.shape
     return nn.layer_norm(stage["patch_norm"], y.reshape(b, h * w, d),
                          1e-6), (h, w)

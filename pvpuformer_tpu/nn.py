@@ -167,7 +167,14 @@ def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int, bias: bool = True)
     return p
 
 
-def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | Sequence = "SAME") -> jnp.ndarray:
+def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | Sequence = "TORCH") -> jnp.ndarray:
+    """"TORCH" padding (default) = symmetric k//2 per side, exactly torch's
+    Conv2d(padding=k//2). NOT the same as XLA "SAME" when stride > 1: SAME
+    pads asymmetrically (e.g. (0,1) for k3 s2 on even input), which shifted
+    every strided conv in the zoo by one pixel vs the reference."""
+    if isinstance(padding, str) and padding == "TORCH":
+        kh, kw = p["w"].shape[0], p["w"].shape[1]
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=(stride, stride), padding=padding,

@@ -29,6 +29,12 @@ def install() -> None:
     import torch
     import torch.nn as nn
 
+    # legacy numpy aliases the reference's era of numpy still had
+    import numpy as np
+    for alias, builtin in (("int", int), ("float", float), ("bool", bool)):
+        if alias not in np.__dict__:
+            np.__dict__[alias] = builtin
+
     # --- easydict ---------------------------------------------------------
     if "easydict" not in sys.modules:
         ed = _module("easydict")
@@ -74,6 +80,13 @@ def install() -> None:
         layers.DropPath = DropPath
         layers.to_2tuple = to_2tuple
         layers.trunc_normal_ = nn.init.trunc_normal_
+
+        registry = _module("timm.models.registry")
+        registry.register_model = lambda fn: fn
+        timm_models.registry = registry
+        tvit = _module("timm.models.vision_transformer")
+        tvit._cfg = lambda url="", **kw: dict(url=url, **kw)
+        timm_models.vision_transformer = tvit
 
     # --- torchvision (import-only in swin_transformer_helper/checkpoint.py) -
     if "torchvision" not in sys.modules:

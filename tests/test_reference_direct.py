@@ -27,11 +27,18 @@ torch = pytest.importorskip("torch")
 @pytest.fixture(scope="module")
 def ref_path():
     """Make `isegm.*` importable, with faithful minimal stubs for the
-    third-party packages this image lacks (see ref_stubs.py)."""
+    third-party packages this image lacks (see ref_stubs.py). Also pins
+    matmul precision to 'highest' — JAX's DEFAULT precision does reduced-
+    precision f32 matmuls (~2e-3, bf16-grade) even on CPU, which would
+    drown the semantic differences these tests exist to catch."""
+    import jax
     import ref_stubs
     ref_stubs.install()
     sys.path.insert(0, str(REF))
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
     yield REF
+    jax.config.update("jax_default_matmul_precision", old)
     sys.path.remove(str(REF))
 
 
@@ -274,6 +281,251 @@ def test_dist_maps_match_reference(ref_path, use_disks):
                      spatial_scale=1.0, use_disks=use_disks)
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
                                ref_out.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# PlainVit (SimpleClick) full interactive model
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_plainvit_model_matches_reference(ref_path):
+    """PlainVitModel (is_plainvit_model.py:59-95) vs our models/plainvit.py
+    through convert_plainvit_checkpoint."""
+    from isegm.model.is_plainvit_model import PlainVitModel
+    from isegm.model.modeling.transformer_helper.cross_entropy_loss import \
+        CrossEntropyLoss
+
+    import jax.numpy as jnp
+    from pvpuformer_tpu.models.fpn import NeckConfig
+    from pvpuformer_tpu.models.plainvit import (PlainVitConfig,
+                                                plainvit_forward)
+    from pvpuformer_tpu.models.seg_head import HeadConfig
+    from pvpuformer_tpu.models.vit import ViTConfig
+    from pvpuformer_tpu.utils.torch_ingest import convert_plainvit_checkpoint
+
+    torch.manual_seed(9)
+    crop = (224, 224)
+    ref = PlainVitModel(
+        backbone_params=dict(img_size=crop, patch_size=(16, 16), in_chans=3,
+                             embed_dim=768, depth=4, num_heads=12),
+        neck_params=dict(in_dim=768, out_dims=[128, 256, 512, 1024]),
+        head_params=dict(in_channels=[128, 256, 512, 1024],
+                         in_index=[0, 1, 2, 3], dropout_ratio=0.1,
+                         num_classes=1, loss_decode=CrossEntropyLoss(),
+                         align_corners=False, upsample="x1", ed_loss=False,
+                         channels=256),
+        use_disks=True, norm_radius=5, with_prev_mask=True).eval()
+    with torch.no_grad():
+        ref.backbone.pos_embed.normal_(0, 0.02)
+
+    rng = np.random.default_rng(10)
+    image = torch.from_numpy(
+        rng.uniform(0, 1, (1, 4, 224, 224)).astype(np.float32))
+    pts = np.full((1, 8, 3), -1, np.float32)
+    pts[0, 0] = (88, 111, 0)
+    pts[0, 4] = (190, 30, 1)
+    with torch.no_grad():
+        ref_out = ref(image, torch.from_numpy(pts))
+
+    cfg = PlainVitConfig(
+        backbone=ViTConfig(img_size=crop, patch_size=(16, 16), embed_dim=768,
+                           depth=4, num_heads=12),
+        neck=NeckConfig(in_dim=768, out_dims=(128, 256, 512, 1024),
+                        img_size=crop),
+        head=HeadConfig(in_channels=(128, 256, 512, 1024), channels=256,
+                        upsample="x1", ed_loss=False))
+    params = convert_plainvit_checkpoint(_sd(ref), cfg)
+    ours = plainvit_forward(params, cfg,
+                            jnp.asarray(image.numpy().transpose(0, 2, 3, 1)),
+                            jnp.asarray(pts))
+    np.testing.assert_allclose(
+        np.asarray(ours["instances"])[..., 0],
+        ref_out["instances"].numpy()[:, 0], atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Swin backbone + SegFormer head full interactive model
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_swinformer_model_matches_reference(ref_path):
+    """SwinformerModel (is_swinformer_model.py:5-21, swin_transformer.py
+    backbone with shifted windows + relative position bias) vs our
+    zoo/swin.py through convert_swin_backbone. The reference routes coord
+    features through the SAME patch embed as RGB (swin_transformer.py:
+    619-622); our separate coord embed is set to the converted RGB embed
+    here, making the two mathematically identical."""
+    from isegm.model.is_swinformer_model import SwinformerModel
+    from isegm.model.modeling.transformer_helper.cross_entropy_loss import \
+        CrossEntropyLoss
+
+    import jax.numpy as jnp
+    from pvpuformer_tpu.models.zoo.swin import SwinISConfig, swin_is_forward
+    from pvpuformer_tpu.utils.torch_ingest import (_conv,
+                                                   convert_swin_backbone)
+
+    torch.manual_seed(11)
+    depths, heads = [2, 2, 2], [3, 6, 12]
+    ref = SwinformerModel(
+        backbone_params=dict(embed_dim=48, depths=depths, num_heads=heads,
+                             window_size=7, patch_norm=False, ape=False,
+                             out_indices=(0, 1, 2), in_chans=3),
+        head_params=dict(in_channels=[48, 96, 192], in_index=[0, 1, 2],
+                         dropout_ratio=0.1, num_classes=1,
+                         loss_decode=CrossEntropyLoss(), align_corners=False,
+                         upsample="x1", ed_loss=False, channels=64),
+        use_disks=True, norm_radius=5, with_prev_mask=True).eval()
+
+    rng = np.random.default_rng(12)
+    image = torch.from_numpy(
+        rng.uniform(0, 1, (1, 4, 224, 224)).astype(np.float32))
+    pts = np.full((1, 8, 3), -1, np.float32)
+    pts[0, 0] = (100, 60, 0)
+    pts[0, 4] = (30, 180, 1)
+    with torch.no_grad():
+        ref_out = ref(image, torch.from_numpy(pts))
+
+    cfg = SwinISConfig(embed_dim=48, depths=(2, 2, 2), num_heads=(3, 6, 12),
+                       window=7, head_channels=64, patch_norm=False)
+    sd = _sd(ref)
+    params = convert_swin_backbone(sd, cfg, prefix="backbone.")
+    params["patch_embed_coords"] = dict(params["patch_embed"])  # shared embed
+    params["head"] = {
+        "convs": [_conv(sd, f"head.convs.{i}.conv") for i in range(3)],
+        "fusion": _conv(sd, "head.fusion_conv.conv"),
+        "conv_seg": _conv(sd, "head.conv_seg"),
+    }
+    ours = swin_is_forward(params, cfg,
+                           jnp.asarray(image.numpy().transpose(0, 2, 3, 1)),
+                           jnp.asarray(pts))
+    np.testing.assert_allclose(
+        np.asarray(ours["instances"])[..., 0],
+        ref_out["instances"].numpy()[:, 0], atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# HRNet+OCR full interactive model (RITM family)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_hrnet_model_matches_reference(ref_path):
+    """HRNetModel (is_hrnet_model.py:9-40, hrnet_ocr.py, ocr.py) vs our
+    zoo/hrnet.py through convert_hrnet_checkpoint — validates the multi-
+    branch topology, OCR attention, frozen-BN conversion and the RITM
+    maps_transform path."""
+    from isegm.model.is_hrnet_model import HRNetModel
+
+    import jax.numpy as jnp
+    from pvpuformer_tpu.models.zoo.hrnet import (HRNetISConfig,
+                                                 hrnet_is_forward)
+    from pvpuformer_tpu.utils.torch_ingest import convert_hrnet_checkpoint
+
+    torch.manual_seed(7)
+    ref = HRNetModel(width=18, ocr_width=64, small=True, with_aux_output=True,
+                     use_rgb_conv=True, use_leaky_relu=True,
+                     use_disks=True, norm_radius=5, with_prev_mask=True).eval()
+    with torch.no_grad():   # make BN stats non-trivial so conversion is tested
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.1)
+                m.bias.normal_(0, 0.1)
+
+    rng = np.random.default_rng(8)
+    image = torch.from_numpy(
+        rng.uniform(0, 1, (1, 4, 128, 128)).astype(np.float32))
+    pts = np.full((1, 8, 3), -1, np.float32)
+    pts[0, 0] = (40, 70, 0)
+    pts[0, 4] = (100, 20, 1)
+    with torch.no_grad():
+        ref_out = ref(image, torch.from_numpy(pts))
+
+    cfg = HRNetISConfig(width=18, small=True, ocr_width=64)
+    params = convert_hrnet_checkpoint(_sd(ref), cfg)
+    ours = hrnet_is_forward(params, cfg,
+                            jnp.asarray(image.numpy().transpose(0, 2, 3, 1)),
+                            jnp.asarray(pts))
+    np.testing.assert_allclose(
+        np.asarray(ours["instances"])[..., 0],
+        ref_out["instances"].numpy()[:, 0], atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours["instances_aux"])[..., 0],
+        ref_out["instances_aux"].numpy()[:, 0], atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SegFormer MiT backbone (official standalone implementation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_mit_backbone_matches_reference(ref_path):
+    """Official-layout MixVisionTransformer
+    (segformer/mix_transformer.py:308-...) vs our zoo/segformer backbone:
+    overlap patch embeds, spatial-reduction attention, MixFFN depthwise
+    conv. (The mmseg-style copy at segformer.py:119-170 omits upstream's
+    batch_first transpose around nn.MultiheadAttention and is degenerate
+    under the pinned mmcv 1.6.2 — we implement the intended semantics,
+    which this standalone impl shares; see PARITY.md deviation 8.)"""
+    from functools import partial
+
+    from isegm.model.modeling.segformer.mix_transformer import \
+        MixVisionTransformer
+
+    import jax.numpy as jnp
+    from pvpuformer_tpu.models.zoo.segformer import (SegformerISConfig,
+                                                     segformer_backbone)
+    from pvpuformer_tpu.utils.torch_ingest import _conv, _gn, _lin
+
+    torch.manual_seed(13)
+    dims, heads, depths, srs = [16, 32, 64, 128], [1, 2, 4, 8], \
+        [2, 2, 2, 2], [8, 4, 2, 1]
+    ref = MixVisionTransformer(
+        img_size=64, in_chans=6, embed_dims=dims, num_heads=heads,
+        mlp_ratios=[4, 4, 4, 4], qkv_bias=True, depths=depths,
+        sr_ratios=srs,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6)).eval()
+
+    rng = np.random.default_rng(14)
+    x = torch.from_numpy(rng.normal(size=(1, 6, 64, 64)).astype(np.float32))
+    with torch.no_grad():
+        ref_feats = ref.forward_features(x)
+
+    sd = _sd(ref)
+    stages = []
+    for i in range(4):
+        blocks = []
+        for j in range(depths[i]):
+            b = f"block{i + 1}.{j}"
+            blk = {
+                "norm1": _gn(sd, f"{b}.norm1"),
+                "q": _lin(sd, f"{b}.attn.q"),
+                "kv": _lin(sd, f"{b}.attn.kv"),
+                "proj": _lin(sd, f"{b}.attn.proj"),
+                "norm2": _gn(sd, f"{b}.norm2"),
+                "fc1": _lin(sd, f"{b}.mlp.fc1"),
+                "dw": _conv(sd, f"{b}.mlp.dwconv.dwconv"),
+                "fc2": _lin(sd, f"{b}.mlp.fc2"),
+            }
+            if srs[i] > 1:
+                blk["sr"] = _conv(sd, f"{b}.attn.sr")
+                blk["sr_norm"] = _gn(sd, f"{b}.attn.norm")
+            blocks.append(blk)
+        stages.append({
+            "patch": _conv(sd, f"patch_embed{i + 1}.proj"),
+            "patch_norm": _gn(sd, f"patch_embed{i + 1}.norm"),
+            "blocks": blocks,
+            "norm": _gn(sd, f"norm{i + 1}"),
+        })
+
+    cfg = SegformerISConfig(embed_dims=tuple(dims), depths=tuple(depths),
+                            num_heads=tuple(heads), sr_ratios=tuple(srs))
+    ours = segformer_backbone({"stages": stages}, cfg,
+                              jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    for i, (of, rf) in enumerate(zip(ours, ref_feats)):
+        np.testing.assert_allclose(np.asarray(of).transpose(0, 3, 1, 2),
+                                   rf.numpy(), atol=2e-4,
+                                   err_msg=f"stage {i}")
 
 
 # ---------------------------------------------------------------------------
