@@ -351,7 +351,10 @@ def convert_hrnet_checkpoint(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     return {
         "maps_transform": {"conv1": _conv(sd, "maps_transform.0"),
                            "conv2": _conv(sd, "maps_transform.2"),
-                           "scale": sd["maps_transform.3.scale"].reshape(())},
+                           # ScaleLayer applies abs(scale * lr_mult) at
+                           # forward time (ops.py:393-395); lr_mult=1 here
+                           "scale": np.abs(
+                               sd["maps_transform.3.scale"]).reshape(())},
         "stem1": _conv_bn(sd, f"{fx}conv1", f"{fx}bn1"),
         "stem2": _conv_bn(sd, f"{fx}conv2", f"{fx}bn2"),
         "layer1": [block_bottleneck(f"{fx}layer1.{j}")
@@ -364,6 +367,78 @@ def convert_hrnet_checkpoint(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
         "stage4": [module(f"{fx}stage4.{m}", 4, blocks) for m in range(nm[2])],
         "ocr": ocr,
     }
+
+
+def convert_deeplab_checkpoint(sd: Dict[str, np.ndarray],
+                               cfg) -> Dict[str, Any]:
+    """RITM DeeplabModel state dict -> our zoo/deeplab params.
+
+    Name map over `is_deeplab_model.py:10-27` / `deeplab_v3.py:12-176` /
+    `resnetv1b.py`: feature_extractor.backbone (deep stem Sequential or 7x7
+    conv1 + bn1, layer1..4 with downsample.0/.1), feature_extractor.aspp
+    (concurent.0..4 + project), feature_extractor.skip_project,
+    feature_extractor.head (_DeepLabHead SeparableConv2d block) and the
+    outer SepConvHead `head.layers`. `cfg` is a DeeplabISConfig matching
+    the checkpoint's backbone/ch.
+    """
+    from ..models.zoo.deeplab import RESNET_SPECS
+
+    layers_per, block, stem = RESNET_SPECS[cfg.backbone]
+    bb = "feature_extractor.backbone."
+
+    def sep(prefix):
+        """SeparableConv2d.body = Sequential(dw, pw, bn, relu)."""
+        return {"dw": _conv(sd, f"{prefix}.body.0"),
+                "pw": _conv(sd, f"{prefix}.body.1"),
+                "bn": _bn(sd, f"{prefix}.body.2")}
+
+    def res_block(prefix):
+        p = {"c1": _conv_bn(sd, f"{prefix}.conv1", f"{prefix}.bn1"),
+             "c2": _conv_bn(sd, f"{prefix}.conv2", f"{prefix}.bn2")}
+        if f"{prefix}.conv3.weight" in sd:
+            p["c3"] = _conv_bn(sd, f"{prefix}.conv3", f"{prefix}.bn3")
+        if f"{prefix}.downsample.0.weight" in sd:
+            p["down"] = _conv_bn(sd, f"{prefix}.downsample.0",
+                                 f"{prefix}.downsample.1")
+        return p
+
+    params: Dict[str, Any] = {
+        "maps_transform": {"conv1": _conv(sd, "maps_transform.0"),
+                           "conv2": _conv(sd, "maps_transform.2"),
+                           "scale": np.abs(
+                               sd["maps_transform.3.scale"]).reshape(())},
+    }
+    if stem == "deep":
+        params["stem"] = [
+            _conv_bn(sd, f"{bb}conv1.0", f"{bb}conv1.1"),
+            _conv_bn(sd, f"{bb}conv1.3", f"{bb}conv1.4"),
+            _conv_bn(sd, f"{bb}conv1.6", f"{bb}bn1"),
+        ]
+    else:
+        params["stem"] = [_conv_bn(sd, f"{bb}conv1", f"{bb}bn1")]
+    for i, n in enumerate(layers_per, start=1):
+        params[f"layer{i}"] = [res_block(f"{bb}layer{i}.{j}")
+                               for j in range(n)]
+
+    fe = "feature_extractor."
+    params["aspp"] = {
+        "b0": _conv_bn(sd, f"{fe}aspp.concurent.0.0", f"{fe}aspp.concurent.0.1"),
+        "b1": _conv_bn(sd, f"{fe}aspp.concurent.1.0", f"{fe}aspp.concurent.1.1"),
+        "b2": _conv_bn(sd, f"{fe}aspp.concurent.2.0", f"{fe}aspp.concurent.2.1"),
+        "b3": _conv_bn(sd, f"{fe}aspp.concurent.3.0", f"{fe}aspp.concurent.3.1"),
+        "pool": _conv_bn(sd, f"{fe}aspp.concurent.4.gap.1",
+                         f"{fe}aspp.concurent.4.gap.2"),
+        "project": _conv_bn(sd, f"{fe}aspp.project.0", f"{fe}aspp.project.1"),
+    }
+    params["skip"] = _conv_bn(sd, f"{fe}skip_project.skip_project.0",
+                              f"{fe}skip_project.skip_project.1")
+    params["dhead"] = {"sep1": sep(f"{fe}head.block.0"),
+                       "sep2": sep(f"{fe}head.block.1"),
+                       "cls": _conv(sd, f"{fe}head.block.2")}
+    params["head"] = {"sep1": sep("head.layers.0"),
+                      "sep2": sep("head.layers.1"),
+                      "cls": _conv(sd, "head.layers.2")}
+    return params
 
 
 def convert_mit_backbone(sd: Dict[str, np.ndarray], cfg,

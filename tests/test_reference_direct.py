@@ -455,6 +455,77 @@ def test_full_hrnet_model_matches_reference(ref_path):
 
 
 # ---------------------------------------------------------------------------
+# DeepLabV3+ full interactive model (RITM family)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backbone", ["resnet50", "resnet34"])
+def test_full_deeplab_model_matches_reference(ref_path, backbone):
+    """DeeplabModel (is_deeplab_model.py:10-27: ResNetV1b-os8 + ASPP
+    12/24/36 + SeparableConv heads) vs our zoo/deeplab.py through
+    convert_deeplab_checkpoint."""
+    # NB: DeeplabModel itself is unconstructable as shipped — it forwards
+    # norm_layer= to ISModel.__init__, which doesn't accept it
+    # (is_deeplab_model.py:14 vs is_model.py:10-13). We assemble its exact
+    # components and replicate ISModel.forward (is_model.py:42-57) here.
+    from isegm.model.modeling.basic_blocks import SepConvHead
+    from isegm.model.modeling.deeplab_v3 import DeepLabV3Plus
+    from isegm.model.ops import BatchImageNormalize, DistMaps, ScaleLayer
+
+    import jax.numpy as jnp
+    from pvpuformer_tpu.models.zoo.deeplab import (DeeplabISConfig,
+                                                   deeplab_is_forward)
+    from pvpuformer_tpu.utils.torch_ingest import convert_deeplab_checkpoint
+
+    torch.manual_seed(15)
+    fe = DeepLabV3Plus(backbone=backbone, ch=64, project_dropout=0.5)
+    head = SepConvHead(1, in_channels=64, mid_channels=32, num_layers=2)
+    maps_t = torch.nn.Sequential(          # is_model.py:28-36
+        torch.nn.Conv2d(3, 16, 1),
+        torch.nn.LeakyReLU(negative_slope=0.2),
+        torch.nn.Conv2d(16, 64, 3, stride=2, padding=1),
+        ScaleLayer(init_value=0.05, lr_mult=1))
+    ref = torch.nn.ModuleDict({"feature_extractor": fe, "head": head,
+                               "maps_transform": maps_t}).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.1)
+                m.bias.normal_(0, 0.1)
+
+    rng = np.random.default_rng(16)
+    image = torch.from_numpy(
+        rng.uniform(0, 1, (1, 4, 96, 96)).astype(np.float32))
+    pts = np.full((1, 8, 3), -1, np.float32)
+    pts[0, 0] = (30, 50, 0)
+    pts[0, 4] = (80, 15, 1)
+    points = torch.from_numpy(pts)
+    with torch.no_grad():
+        rgb = BatchImageNormalize([.485, .456, .406],
+                                  [.229, .224, .225])(image[:, :3])
+        prev = image[:, 3:]
+        coords = DistMaps(norm_radius=5, spatial_scale=1.0,
+                          use_disks=True)(rgb, points)
+        coords = torch.cat((prev, coords), dim=1)
+        feats = fe(rgb, maps_t(coords))[0]
+        logits = head(feats)
+        ref_out = {"instances": torch.nn.functional.interpolate(
+            logits, size=rgb.size()[2:], mode="bilinear",
+            align_corners=True)}
+
+    cfg = DeeplabISConfig(backbone=backbone, ch=64)
+    params = convert_deeplab_checkpoint(_sd(ref), cfg)
+    ours = deeplab_is_forward(params, cfg,
+                              jnp.asarray(image.numpy().transpose(0, 2, 3, 1)),
+                              jnp.asarray(pts))
+    np.testing.assert_allclose(
+        np.asarray(ours["instances"])[..., 0],
+        ref_out["instances"].numpy()[:, 0], atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
 # SegFormer MiT backbone (official standalone implementation)
 # ---------------------------------------------------------------------------
 
