@@ -505,6 +505,59 @@ def convert_mit_backbone(sd: Dict[str, np.ndarray], cfg,
     return {"stages": stages}
 
 
+def convert_mit_official(sd: Dict[str, np.ndarray], cfg,
+                         prefix: str = "") -> Dict[str, Any]:
+    """Official NVlabs SegFormer (mit_b0..b5.pth, config.yml SEGFORMER_B*)
+    weights -> zoo/segformer stages.
+
+    Name map over the reference's official-layout copy
+    (`isegm/model/modeling/segformer/mix_transformer.py:308-...`):
+      patch_embed{i}.proj/.norm
+      block{i}.{j}.norm1/.attn.{q,kv,proj,sr,norm}/.norm2/
+                  .mlp.{fc1,dwconv.dwconv,fc2}
+      norm{i}
+    Stage-1 patch conv gets the same coord-channel surgery as
+    convert_mit_backbone.
+    """
+    def k(n):
+        return f"{prefix}{n}"
+
+    coord_ch = 3 if cfg.with_prev_mask else 2
+    stages = []
+    for i in range(len(cfg.embed_dims)):
+        pw = sd[k(f"patch_embed{i + 1}.proj.weight")]
+        pb = sd[k(f"patch_embed{i + 1}.proj.bias")]
+        if i == 0 and pw.shape[1] == 3 and coord_ch > 0:
+            pw = np.concatenate([pw, pw[:, :coord_ch]], axis=1)
+        blocks = []
+        j = 0
+        while k(f"block{i + 1}.{j}.norm1.weight") in sd:
+            b = k(f"block{i + 1}.{j}")
+            blk = {
+                "norm1": _gn(sd, f"{b}.norm1"),
+                "q": _lin(sd, f"{b}.attn.q"),
+                "kv": _lin(sd, f"{b}.attn.kv"),
+                "proj": _lin(sd, f"{b}.attn.proj"),
+                "norm2": _gn(sd, f"{b}.norm2"),
+                "fc1": _lin(sd, f"{b}.mlp.fc1"),
+                "dw": _conv(sd, f"{b}.mlp.dwconv.dwconv"),
+                "fc2": _lin(sd, f"{b}.mlp.fc2"),
+            }
+            if f"{b}.attn.sr.weight" in sd:
+                blk["sr"] = _conv(sd, f"{b}.attn.sr")
+                blk["sr_norm"] = _gn(sd, f"{b}.attn.norm")
+            blocks.append(blk)
+            j += 1
+        stages.append({
+            "patch": {"w": np.ascontiguousarray(pw.transpose(2, 3, 1, 0)),
+                      "b": pb},
+            "patch_norm": _gn(sd, k(f"patch_embed{i + 1}.norm")),
+            "blocks": blocks,
+            "norm": _gn(sd, k(f"norm{i + 1}")),
+        })
+    return {"stages": stages}
+
+
 def convert_plainvit_checkpoint(sd: Dict[str, np.ndarray],
                                 cfg) -> Dict[str, Any]:
     """SimpleClick PlainVitModel state dict -> our plainvit params

@@ -546,7 +546,7 @@ def test_mit_backbone_matches_reference(ref_path):
     import jax.numpy as jnp
     from pvpuformer_tpu.models.zoo.segformer import (SegformerISConfig,
                                                      segformer_backbone)
-    from pvpuformer_tpu.utils.torch_ingest import _conv, _gn, _lin
+    from pvpuformer_tpu.utils.torch_ingest import convert_mit_official
 
     torch.manual_seed(13)
     dims, heads, depths, srs = [16, 32, 64, 128], [1, 2, 4, 8], \
@@ -562,41 +562,25 @@ def test_mit_backbone_matches_reference(ref_path):
     with torch.no_grad():
         ref_feats = ref.forward_features(x)
 
-    sd = _sd(ref)
-    stages = []
-    for i in range(4):
-        blocks = []
-        for j in range(depths[i]):
-            b = f"block{i + 1}.{j}"
-            blk = {
-                "norm1": _gn(sd, f"{b}.norm1"),
-                "q": _lin(sd, f"{b}.attn.q"),
-                "kv": _lin(sd, f"{b}.attn.kv"),
-                "proj": _lin(sd, f"{b}.attn.proj"),
-                "norm2": _gn(sd, f"{b}.norm2"),
-                "fc1": _lin(sd, f"{b}.mlp.fc1"),
-                "dw": _conv(sd, f"{b}.mlp.dwconv.dwconv"),
-                "fc2": _lin(sd, f"{b}.mlp.fc2"),
-            }
-            if srs[i] > 1:
-                blk["sr"] = _conv(sd, f"{b}.attn.sr")
-                blk["sr_norm"] = _gn(sd, f"{b}.attn.norm")
-            blocks.append(blk)
-        stages.append({
-            "patch": _conv(sd, f"patch_embed{i + 1}.proj"),
-            "patch_norm": _gn(sd, f"patch_embed{i + 1}.norm"),
-            "blocks": blocks,
-            "norm": _gn(sd, f"norm{i + 1}"),
-        })
-
     cfg = SegformerISConfig(embed_dims=tuple(dims), depths=tuple(depths),
                             num_heads=tuple(heads), sr_ratios=tuple(srs))
-    ours = segformer_backbone({"stages": stages}, cfg,
+    params = convert_mit_official(_sd(ref), cfg)
+    ours = segformer_backbone(params, cfg,
                               jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     for i, (of, rf) in enumerate(zip(ours, ref_feats)):
         np.testing.assert_allclose(np.asarray(of).transpose(0, 3, 1, 2),
                                    rf.numpy(), atol=2e-4,
                                    err_msg=f"stage {i}")
+
+    # released mit_b*.pth are RGB-only: stage-1 conv must get the v3
+    # coord-channel surgery (duplicate first coord_ch input channels)
+    ref3 = MixVisionTransformer(img_size=64, in_chans=3, embed_dims=dims,
+                                num_heads=heads, depths=depths,
+                                sr_ratios=srs).eval()
+    p3 = convert_mit_official(_sd(ref3), cfg)
+    w = p3["stages"][0]["patch"]["w"]
+    assert w.shape[2] == 6
+    np.testing.assert_array_equal(w[..., 3:, :], w[..., :3, :])
 
 
 # ---------------------------------------------------------------------------
