@@ -40,6 +40,8 @@ class ViTConfig:
     window_pixels: int = 224        # pretraining resolution for window split
     attn_impl: str = "xla"          # "xla" (nn.sdpa) | "flash" (Pallas kernel)
     ln_f32: bool = True             # False: LN in bf16 (inference speed)
+    mlp_impl: str = "xla"           # "xla" | "fused" (Pallas LN+MLP+residual
+                                    # kernel, ops/fused_mlp.py; grad-safe)
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -80,7 +82,8 @@ def init_block(key, dim: int, num_heads: int, mlp_ratio: float,
 
 
 def block_forward(p, x: jnp.ndarray, num_heads: int, eps: float,
-                  attn_impl: str = "xla", ln_f32: bool = True) -> jnp.ndarray:
+                  attn_impl: str = "xla", ln_f32: bool = True,
+                  mlp_impl: str = "xla") -> jnp.ndarray:
     b, n, d = x.shape
     h = nn.layer_norm(p["norm1"], x, eps, f32=ln_f32)
     qkv = nn.linear(p["attn"]["qkv"], h).reshape(b, n, 3, num_heads, d // num_heads)
@@ -91,7 +94,11 @@ def block_forward(p, x: jnp.ndarray, num_heads: int, eps: float,
     else:
         attn = nn.sdpa(q, k, v).reshape(b, n, d)
     x = x + nn.linear(p["attn"]["proj"], attn)
-    x = x + nn.mlp(p["mlp"], nn.layer_norm(p["norm2"], x, eps, f32=ln_f32))
+    if mlp_impl == "fused":
+        from ..ops.fused_mlp import fused_ln_mlp
+        x = fused_ln_mlp(x, p["norm2"], p["mlp"], eps)
+    else:
+        x = x + nn.mlp(p["mlp"], nn.layer_norm(p["norm2"], x, eps, f32=ln_f32))
     return x
 
 
@@ -170,7 +177,7 @@ def vit_backbone_forward(params, cfg: ViTConfig, x_patches: jnp.ndarray,
             inv = jnp.argsort(ids, axis=1)
             xs = jnp.take_along_axis(x, ids[:, :, None], axis=1)
             xs = block_forward(params["blocks"][i], xs, cfg.num_heads, cfg.ln_eps,
-                               cfg.attn_impl, cfg.ln_f32)
+                               cfg.attn_impl, cfg.ln_f32, cfg.mlp_impl)
             x = jnp.take_along_axis(xs, inv[:, :, None], axis=1)
         return x
 
@@ -186,7 +193,7 @@ def vit_backbone_forward(params, cfg: ViTConfig, x_patches: jnp.ndarray,
                 x = _unpatchify(x, cfg)
                 is_patchified = False
         x = block_forward(params["blocks"][i - 1], x, cfg.num_heads, cfg.ln_eps,
-                          cfg.attn_impl, cfg.ln_f32)
+                          cfg.attn_impl, cfg.ln_f32, cfg.mlp_impl)
     if is_patchified:
         x = _unpatchify(x, cfg)
     return x
