@@ -73,8 +73,12 @@ def config_to_dict(cfg: Any) -> Any:
 def config_from_dict(d: Any) -> Any:
     if isinstance(d, dict) and "__class__" in d:
         cls = _registry()[d["__class__"]]
+        # tolerate version skew both ways: fields absent from the stored
+        # config take the dataclass default; stored fields this version no
+        # longer has are dropped
+        known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: config_from_dict(v) for k, v in d.items()
-                  if k != "__class__"}
+                  if k != "__class__" and k in known}
         return cls(**kwargs)
     if isinstance(d, dict) and "__dtype__" in d:
         return _DTYPES[d["__dtype__"]]
