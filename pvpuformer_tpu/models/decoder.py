@@ -59,16 +59,26 @@ class DecoderConfig:
     return_intermediate: bool = False
 
 
+def _init_attn(key, d: int):
+    """torch nn.MultiheadAttention layout: packed in-proj + out-proj."""
+    k1, k2 = jax.random.split(key)
+    return {"in_proj": nn.init_linear(k1, d, 3 * d, init="xavier"),
+            "out": nn.init_linear(k2, d, d, init="xavier")}
+
+
 def _init_layer(key, cfg: DecoderConfig):
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 6)
     d = cfg.d_model
     return {
-        "self_qkv": nn.init_linear(ks[0], d, 3 * d, init="xavier"),
-        "self_proj": nn.init_linear(ks[1], d, d, init="xavier"),
-        "cross_q": nn.init_linear(ks[2], d, d, init="xavier"),
-        "cross_kv": nn.init_linear(ks[3], d, 2 * d, init="xavier"),
-        "cross_proj": nn.init_linear(ks[4], d, d, init="xavier"),
-        "ffn": nn.init_mlp(ks[5], d, cfg.dim_ffn, init="xavier"),
+        "self_attn": _init_attn(ks[0], d),
+        "self_attn_norm": nn.init_layer_norm(d),
+        "cross_attn": _init_attn(ks[1], d),
+        "cross_attn_norm": nn.init_layer_norm(d),
+        # ffn = Linear -> ReLU -> LayerNorm(dim_ffn) -> Linear
+        # (transformer.py:160-164)
+        "ffn": {"fc1": nn.init_linear(ks[2], d, cfg.dim_ffn, init="xavier"),
+                "ln": nn.init_layer_norm(cfg.dim_ffn),
+                "fc2": nn.init_linear(ks[3], cfg.dim_ffn, d, init="xavier")},
         "norm1": nn.init_layer_norm(d),
         "norm2": nn.init_layer_norm(d),
         "norm3": nn.init_layer_norm(d),
@@ -82,47 +92,91 @@ def init_decoder(key, cfg: DecoderConfig) -> Dict[str, Any]:
             "norm": nn.init_layer_norm(cfg.d_model)}
 
 
-def _mha(q, k, v, heads: int):
-    b, nq, d = q.shape
-    qh = q.reshape(b, nq, heads, d // heads)
-    kh = k.reshape(b, -1, heads, d // heads)
-    vh = v.reshape(b, -1, heads, d // heads)
-    return nn.sdpa(qh, kh, vh).reshape(b, nq, d)
+def _mha(p, q, k, v, heads: int):
+    """torch nn.MultiheadAttention with a packed in-projection: q/k/v each
+    go through their slice of in_proj, then scaled-dot-product, then
+    out-proj."""
+    d = q.shape[-1]
+    w = p["in_proj"]["w"]
+    b = p["in_proj"].get("b")
+    def proj(x, i):
+        y = jnp.dot(x, w[:, i * d:(i + 1) * d],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        if b is not None:
+            y = y + b[i * d:(i + 1) * d].astype(x.dtype)
+        return y
+    qp, kp, vp = proj(q, 0), proj(k, 1), proj(v, 2)
+    bsz, nq, _ = qp.shape
+    out = nn.sdpa(qp.reshape(bsz, nq, heads, d // heads),
+                  kp.reshape(bsz, -1, heads, d // heads),
+                  vp.reshape(bsz, -1, heads, d // heads)).reshape(bsz, nq, d)
+    return nn.linear(p["out"], out)
 
 
-def decoder_forward(params, cfg: DecoderConfig, queries: jnp.ndarray,
-                    memory: jnp.ndarray, grid_hw: Tuple[int, int],
-                    query_pos: Optional[jnp.ndarray] = None):
-    """queries (B, L, D), memory (B, HW, D) image tokens.
+def _ffn(p, x):
+    h = jax.nn.relu(nn.linear(p["fc1"], x))
+    return nn.linear(p["fc2"], nn.layer_norm(p["ln"], h, 1e-5))
 
-    Pre-norm layers (transformer.py TransformerDecoderLayer): self-attn over
-    queries (+query pos), cross-attn with pos2d-encoded memory keys, FFN.
-    Returns final queries, or the per-layer stack when return_intermediate.
+
+def decoder_forward(params, cfg: DecoderConfig, vis: jnp.ndarray,
+                    txt: jnp.ndarray, grid_hw: Tuple[int, int],
+                    as_text: bool = False, image_to_token: bool = False):
+    """vis (B, HW, D) image tokens; txt (B, L, D) query tokens.
+
+    Exact re-derivation of TransformerDecoder.forward /
+    TransformerDecoderLayer.forward (transformer.py:90-219):
+      * every layer self-attends over the ORIGINAL vis (the residual vis
+        update is layer-local, transformer.py:186-190 with the outer loop
+        at :117 always passing the same `vis`);
+      * cross-attention queries = norm2(txt) (+pos1d only when as_text),
+        keys = the layer's self-attended vis + pos2d, values = that vis;
+      * FFN carries an inner LayerNorm on the hidden (transformer.py:162);
+      * final norm is LayerNorm + ReLU (transformer.py:35);
+      * image_to_token=True threads the vis side instead of txt.
+    Returns the final normalized output, or the per-layer intermediate list
+    when cfg.return_intermediate (last entry == final output,
+    transformer.py:126-137).
     """
-    b, l, d = queries.shape
-    pos_m = jnp.asarray(pos2d_sincos(d, *grid_hw))[None].astype(queries.dtype)
-    if query_pos is None:
-        query_pos = jnp.asarray(pos1d_sincos(d, l))[None].astype(queries.dtype)
+    b, hw, d = vis.shape
+    l = txt.shape[1]
+    vis_pos = jnp.asarray(pos2d_sincos(d, *grid_hw))[None].astype(vis.dtype)
+    txt_pos = (jnp.asarray(pos1d_sincos(d, l))[None].astype(txt.dtype)
+               if as_text else None)
 
-    x = queries
+    out = vis if image_to_token else txt
     inters: List[jnp.ndarray] = []
+
+    def final_norm(x):
+        return jax.nn.relu(nn.layer_norm(params["norm"], x, 1e-5))
+
     for p in params["layers"]:
-        # DETR convention: positions enter q/k inputs, values stay position-
-        # free (q_proj(h+pos), k_proj(h+pos), v_proj(h))
-        h = nn.layer_norm(p["norm1"], x)
-        qk = nn.linear(p["self_qkv"], h + query_pos)
-        q, k = qk[..., :d], qk[..., d:2 * d]
-        v = nn.linear(p["self_qkv"], h)[..., 2 * d:]
-        x = x + nn.linear(p["self_proj"], _mha(q, k, v, cfg.nhead))
-        h = nn.layer_norm(p["norm2"], x)
-        q = nn.linear(p["cross_q"], h + query_pos)
-        kv = nn.linear(p["cross_kv"], memory + pos_m)
-        k, v = jnp.split(kv, 2, axis=-1)
-        x = x + nn.linear(p["cross_proj"], _mha(q, k, v, cfg.nhead))
-        h = nn.layer_norm(p["norm3"], x)
-        x = x + nn.mlp(p["ffn"], h)
+        # layer-local self-attention over the original vis
+        vis2 = nn.layer_norm(p["norm1"], vis, 1e-5)
+        a = vis2 + vis_pos
+        vis2 = _mha(p["self_attn"], a, a, vis2, cfg.nhead)
+        vis2 = nn.layer_norm(p["self_attn_norm"], vis2, 1e-5)
+        vis_l = vis + vis2
+
+        if image_to_token:
+            # queries come from the self-attended vis; keys/values are the
+            # threaded output (transformer.py:193-201, where the threaded
+            # `output` arrives through the layer's txt argument)
+            h = nn.layer_norm(p["norm2"], vis_l, 1e-5)
+            q = h + vis_pos
+            kv = out if txt_pos is None else out + txt_pos
+            c = _mha(p["cross_attn"], q, kv, out, cfg.nhead)
+            out = vis_l + nn.layer_norm(p["cross_attn_norm"], c, 1e-5)
+        else:
+            h = nn.layer_norm(p["norm2"], out, 1e-5)
+            q = h if txt_pos is None else h + txt_pos
+            c = _mha(p["cross_attn"], q, vis_l + vis_pos, vis_l, cfg.nhead)
+            out = out + nn.layer_norm(p["cross_attn_norm"], c, 1e-5)
+
+        out = out + _ffn(p["ffn"], nn.layer_norm(p["norm3"], out, 1e-5))
         if cfg.return_intermediate:
-            inters.append(nn.layer_norm(params["norm"], x))
+            inters.append(final_norm(out))
+
     if cfg.return_intermediate:
-        return jnp.stack(inters)
-    return nn.layer_norm(params["norm"], x)
+        inters[-1] = final_norm(out)
+        return inters
+    return final_norm(out)

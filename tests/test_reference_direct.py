@@ -151,6 +151,70 @@ def test_vit_backbone_matches_reference(ref_path):
 
 
 # ---------------------------------------------------------------------------
+# CRIS-style TransformerDecoder (is_vitdetr_* experiment stack)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("image_to_token", [False, True])
+def test_transformer_decoder_matches_reference(ref_path, image_to_token):
+    # NB: image_to_token=True only runs with as_text=False in the reference
+    # too — its txt_pos (length L) cannot broadcast onto the HW-long
+    # threaded output (transformer.py:195).
+    as_text = not image_to_token
+    from isegm.model.modeling.transformer import TransformerDecoder
+
+    import jax.numpy as jnp
+    from pvpuformer_tpu.models.decoder import (DecoderConfig, decoder_forward)
+    from pvpuformer_tpu.utils.torch_ingest import _gn, _lin
+
+    torch.manual_seed(17)
+    layers, d, heads, ffn = 2, 64, 4, 128
+    ref = TransformerDecoder(num_layers=layers, d_model=d, nhead=heads,
+                             dim_ffn=ffn, dropout=0.1,
+                             return_intermediate=True).eval()
+
+    b, hw, l = 2, 64, 5    # 8x8 image tokens (h=w=sqrt(HW) path)
+    vis = torch.randn(b, hw, d)
+    txt = torch.randn(b, l, d)
+    with torch.no_grad():
+        ref_out = ref(vis, txt, as_text=as_text, image_to_token=image_to_token)
+
+    sd = _sd(ref)
+    lp = []
+    for i in range(layers):
+        base = f"layers.{i}"
+        def attn(name):
+            return {"in_proj": {"w": sd[f"{base}.{name}.in_proj_weight"].T,
+                                "b": sd[f"{base}.{name}.in_proj_bias"]},
+                    "out": _lin(sd, f"{base}.{name}.out_proj")}
+        lp.append({
+            "self_attn": attn("self_attn"),
+            "self_attn_norm": _gn(sd, f"{base}.self_attn_norm"),
+            "cross_attn": attn("multihead_attn"),
+            "cross_attn_norm": _gn(sd, f"{base}.cross_attn_norm"),
+            "ffn": {"fc1": _lin(sd, f"{base}.ffn.0"),
+                    "ln": _gn(sd, f"{base}.ffn.3"),
+                    "fc2": _lin(sd, f"{base}.ffn.4")},
+            "norm1": _gn(sd, f"{base}.norm1"),
+            "norm2": _gn(sd, f"{base}.norm2"),
+            "norm3": _gn(sd, f"{base}.norm3"),
+        })
+    params = {"layers": lp, "norm": _gn(sd, "norm.0")}
+
+    cfg = DecoderConfig(num_layers=layers, d_model=d, nhead=heads,
+                        dim_ffn=ffn, return_intermediate=True)
+    ours = decoder_forward(params, cfg, jnp.asarray(vis.numpy()),
+                           jnp.asarray(txt.numpy()), (8, 8), as_text=as_text,
+                           image_to_token=image_to_token)
+    assert len(ours) == len(ref_out) == layers
+    for i, (o, rr) in enumerate(zip(ours, ref_out)):
+        r = rr.numpy()
+        if image_to_token:
+            r = r.transpose(0, 2, 1)        # reference returns (B, D, HW)
+        np.testing.assert_allclose(np.asarray(o), r, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"layer {i} (i2t={image_to_token})")
+
+
+# ---------------------------------------------------------------------------
 # FULL VPU model: reference torch forward vs ours with converted weights
 # ---------------------------------------------------------------------------
 
