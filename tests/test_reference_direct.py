@@ -648,6 +648,79 @@ def test_mit_backbone_matches_reference(ref_path):
 
 
 # ---------------------------------------------------------------------------
+# AdaptiveIoU training metric
+# ---------------------------------------------------------------------------
+
+def test_adaptive_iou_matches_reference(ref_path):
+    """Threshold hill-climb + EMA trajectories vs the reference metric
+    (metrics.py:29-101) over a sequence of random batches, including an
+    all-empty-gt batch (skipped by both)."""
+    from isegm.model.metrics import AdaptiveIoU as RefAdaptiveIoU
+
+    from pvpuformer_tpu.engine.metrics import AdaptiveIoU
+
+    ref = RefAdaptiveIoU()
+    ours = AdaptiveIoU()
+    rng = np.random.default_rng(21)
+    for step in range(6):
+        logits = rng.normal(size=(3, 1, 24, 32)).astype(np.float32) * 2
+        gt = (rng.random((3, 1, 24, 32)) > 0.5).astype(np.float32)
+        gt[rng.random(gt.shape) > 0.95] = -1
+        if step == 3:
+            gt = np.zeros_like(gt)          # all-empty batch -> skipped
+        with torch.no_grad():
+            ref.update(torch.from_numpy(logits), torch.from_numpy(gt))
+        ours.update(logits.transpose(0, 2, 3, 1), gt.transpose(0, 2, 3, 1))
+        np.testing.assert_allclose(ours.iou_thresh, ref._iou_thresh,
+                                   rtol=1e-6, err_msg=f"thresh step {step}")
+        np.testing.assert_allclose(ours._ema_iou, ref._ema_iou, rtol=1e-5,
+                                   err_msg=f"ema step {step}")
+    np.testing.assert_allclose(ours.get_epoch_value(), ref.get_epoch_value(),
+                               rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Layer-wise lr decay + MultiStepLR schedules
+# ---------------------------------------------------------------------------
+
+def test_layerwise_decay_matches_reference(ref_path):
+    """Our vit_layer_id / layerwise_scales vs the reference's
+    get_layer_id_for_vit / param_groups_lrd scale table (lr_decay.py:15-85)."""
+    from isegm.utils.lr_decay import get_layer_id_for_vit
+
+    from pvpuformer_tpu.engine.optimizer import vit_layer_id
+
+    depth = 12
+    num_layers = depth + 1
+    names = (["cls_token", "pos_embed", "patch_embed.proj.weight"]
+             + [f"blocks.{i}.attn.qkv.weight" for i in range(depth)]
+             + [f"blocks.{i}.norm2.bias" for i in range(depth)]
+             + ["fc_norm.weight"])
+    for torch_name in names:
+        ref_id = get_layer_id_for_vit(torch_name, num_layers)
+        ours = vit_layer_id(torch_name, depth)
+        assert ours == ref_id, (torch_name, ours, ref_id)
+
+
+def test_multistep_lr_matches_torch(ref_path):
+    import torch.optim as topt
+
+    import jax.numpy as jnp
+    from pvpuformer_tpu.engine.optimizer import multistep_lr
+
+    opt = topt.SGD([torch.nn.Parameter(torch.zeros(1))], lr=5e-5)
+    sched = topt.lr_scheduler.MultiStepLR(opt, milestones=[190, 210],
+                                          gamma=0.1)
+    ours = multistep_lr(5e-5, [190, 210], 0.1, steps_per_epoch=1)
+    for epoch in range(230):
+        ref_lr = opt.param_groups[0]["lr"]
+        np.testing.assert_allclose(float(ours(jnp.asarray(epoch))), ref_lr,
+                                   rtol=1e-6, err_msg=f"epoch {epoch}")
+        opt.step()
+        sched.step()
+
+
+# ---------------------------------------------------------------------------
 # Loss zoo
 # ---------------------------------------------------------------------------
 
