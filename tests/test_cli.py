@@ -10,7 +10,9 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run(args, timeout=560):
+def run(args, timeout=1200):   # generous: the subprocess recompiles from a
+                               # cold cache and the host may be running the
+                               # rest of the suite in parallel
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
