@@ -31,20 +31,33 @@ def box_outline_mask(h: int, w: int, box) -> jnp.ndarray:
     y0, y1 = yc - bh // 2, yc + bh // 2
     yy = jnp.arange(h, dtype=jnp.int32)[:, None]
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
-    outer = (xx >= x0 - 1) & (xx <= x1 + 1) & (yy >= y0 - 1) & (yy <= y1 + 1)
-    inner = (xx >= x0 + 2) & (xx <= x1 - 2) & (yy >= y0 + 2) & (yy <= y1 - 2)
+    # cv2's thickness-3 stroke is 5 px wide on axis-aligned lines (its
+    # thick-line half-width rounds outward to 2) with round caps clipping
+    # the outer corners to a radius-2 disk — both measured directly against
+    # cv2.rectangle (test_reference_direct VPU box test is pixel-exact)
+    ex = jnp.maximum(0, jnp.maximum(x0 - xx, xx - x1))
+    ey = jnp.maximum(0, jnp.maximum(y0 - yy, yy - y1))
+    outer = (ex * ex + ey * ey) <= 4
+    inner = (xx >= x0 + 3) & (xx <= x1 - 3) & (yy >= y0 + 3) & (yy <= y1 - 3)
     return (outer & ~inner).astype(jnp.float32)
 
 
 def polyline_mask(h: int, w: int, samples: jnp.ndarray) -> jnp.ndarray:
     """samples: (S, 2) of (col, row) dense curve samples -> (h, w) 0/1 mask
-    of a thickness-3 stroke (3x3 dilation of the scattered samples)."""
+    of a thickness-3 cv2 stroke. cv2's thickness-3 lines are 5 px wide with
+    round caps/joins (half-width rounds outward to 2, same measurement as
+    box_outline_mask), so a dense-sample curve's stroke is the dilation of
+    the scattered samples by a radius-2 disk."""
     cols = jnp.clip(samples[:, 0].astype(jnp.int32), 0, w - 1)
     rows = jnp.clip(samples[:, 1].astype(jnp.int32), 0, h - 1)
     base = jnp.zeros((h, w), jnp.float32).at[rows, cols].set(1.0, mode="drop")
-    dil = jax.lax.reduce_window(base, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
-                                "SAME")
-    return jnp.maximum(dil, 0.0)
+    d = jnp.arange(-2, 3)
+    disk = ((d[:, None] ** 2 + d[None, :] ** 2) <= 4).astype(jnp.float32)
+    dil = jax.lax.conv_general_dilated(
+        base[None, :, :, None], disk[:, :, None, None], (1, 1),
+        ((2, 2), (2, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)[0, :, :, 0]
+    return (dil > 0).astype(jnp.float32)
 
 
 def draw_box_into_coords(coords: jnp.ndarray, boxes: jnp.ndarray,

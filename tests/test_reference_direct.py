@@ -219,11 +219,15 @@ def test_transformer_decoder_matches_reference(ref_path, image_to_token):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
-def test_full_vpu_model_matches_reference(ref_path):
+@pytest.mark.parametrize("prompt_type", [0, 1])
+def test_full_vpu_model_matches_reference(ref_path, prompt_type):
     """End-to-end: VitMultiGaussianVector_ed_Model (the shipped model,
     instantiated exactly like models/iSegNet/vpu_base448_cocolvis.py:11-61
     but at 224 crop / depth 4) -> convert_vpu_checkpoint -> our vpu_forward.
-    Validates model math AND the checkpoint converter in one shot."""
+    Validates model math AND the checkpoint converter in one shot, for both
+    the click path (as_prompt_type=0) and the box path (=1: host cv2
+    rectangle into the coord channel + GaussianVector_box PPuE vs our
+    on-device rasterization + ppue_box)."""
     from isegm.model.is_vpu_model import VitMultiGaussianVector_ed_Model
     from isegm.model.modeling.transformer_helper.cross_entropy_loss import \
         CrossEntropyLoss
@@ -261,8 +265,12 @@ def test_full_vpu_model_matches_reference(ref_path):
     pts[0, 1] = (120, 47, 1)
     pts[0, 4] = (30, 200, 2)   # one negative click
     points = torch.from_numpy(pts)
+    box = np.array([[112, 100, 80, 60, 0]], np.int64)   # [xc, yc, w, h, slot]
+    prompts = (points, torch.from_numpy(box),
+               (torch.zeros(1, 1, 1000, 2), torch.zeros(1, 1, 4)))
     with torch.no_grad():
-        ref_out = ref(image, points, as_prompt_type=0, edloss=True)
+        ref_out = ref(image, points, prompts=prompts,
+                      as_prompt_type=prompt_type, edloss=True)
 
     cfg = VPUConfig(
         backbone=ViTConfig(img_size=crop, patch_size=(16, 16), embed_dim=768,
@@ -275,7 +283,9 @@ def test_full_vpu_model_matches_reference(ref_path):
     params = convert_vpu_checkpoint(_sd(ref), cfg)
     ours = vpu_forward(params, cfg,
                        jnp.asarray(image.numpy().transpose(0, 2, 3, 1)),
-                       jnp.asarray(pts), prompt_type=0)
+                       jnp.asarray(pts),
+                       boxes=jnp.asarray(box, jnp.float32),
+                       prompt_type=prompt_type)
 
     np.testing.assert_allclose(
         np.asarray(ours["instances"])[..., 0],
@@ -472,7 +482,8 @@ def test_full_swinformer_model_matches_reference(ref_path):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
-def test_full_hrnet_model_matches_reference(ref_path):
+@pytest.mark.parametrize("small", [True, False])
+def test_full_hrnet_model_matches_reference(ref_path, small):
     """HRNetModel (is_hrnet_model.py:9-40, hrnet_ocr.py, ocr.py) vs our
     zoo/hrnet.py through convert_hrnet_checkpoint — validates the multi-
     branch topology, OCR attention, frozen-BN conversion and the RITM
@@ -485,7 +496,7 @@ def test_full_hrnet_model_matches_reference(ref_path):
     from pvpuformer_tpu.utils.torch_ingest import convert_hrnet_checkpoint
 
     torch.manual_seed(7)
-    ref = HRNetModel(width=18, ocr_width=64, small=True, with_aux_output=True,
+    ref = HRNetModel(width=18, ocr_width=64, small=small, with_aux_output=True,
                      use_rgb_conv=True, use_leaky_relu=True,
                      use_disks=True, norm_radius=5, with_prev_mask=True).eval()
     with torch.no_grad():   # make BN stats non-trivial so conversion is tested
@@ -505,7 +516,7 @@ def test_full_hrnet_model_matches_reference(ref_path):
     with torch.no_grad():
         ref_out = ref(image, torch.from_numpy(pts))
 
-    cfg = HRNetISConfig(width=18, small=True, ocr_width=64)
+    cfg = HRNetISConfig(width=18, small=small, ocr_width=64)
     params = convert_hrnet_checkpoint(_sd(ref), cfg)
     ours = hrnet_is_forward(params, cfg,
                             jnp.asarray(image.numpy().transpose(0, 2, 3, 1)),
