@@ -7,12 +7,25 @@ optimized with scipy L-BFGS-B to make the prediction consistent with the
 clicks:
 
   * f-BRS  (`FeatureBRSPredictor`): per-channel scale/bias on an intermediate
-    feature map — here the ViT backbone tokens (768-d), the natural insertion
-    point of the VPU model (the reference's after_deeplab/after_c4 modes are
-    backbone-specific). The backbone runs ONCE per click (the expensive
-    part); each L-BFGS iteration re-runs only neck+head on scaled tokens.
-  * RGB-BRS (`InputBRSPredictor`): additive perturbation of the RGB input —
-    every L-BFGS iteration pays a full forward (brs.py:226-307 semantics).
+    feature map — on VPU models the ViT backbone tokens (768-d), the natural
+    insertion point (the reference's after_deeplab/after_c4 modes are
+    backbone-specific; PARITY.md deviation #9). The backbone runs ONCE per
+    click (the expensive part); each L-BFGS iteration re-runs only the tail.
+  * f-BRS on zoo models (`ZooFeatureBRSPredictor`): the reference's OWN
+    insertion points — HRNet 'A' (stride-4 concat feats, OCR+cls re-run) /
+    'C' (pre-cls OCR feats, cls re-run) per brs.py:150-244, DeepLab
+    after_c4 / after_aspp / after_deeplab per brs.py:53-147.
+  * RGB-BRS (`InputBRSPredictor(optimize_target='rgb')`): additive
+    perturbation of the RGB input — every L-BFGS iteration pays a full
+    forward (brs.py:226-307). Works on every registered model family.
+    Deviation: the delta enters BEFORE ImageNet normalization (the
+    reference adds it after); this reparameterizes the search space by the
+    per-channel 1/std factor, which L-BFGS absorbs — only the L2
+    regularizer is effectively rescaled per channel.
+  * DistMap-BRS (`optimize_target='dmaps'`): additive perturbation of the
+    two disk/dist-map coord channels, never the prev-mask channel
+    (brs.py:258-276, `__init__.py:76-77`); threaded into every model
+    family via the `coord_bias` forward argument.
 
 TPU-native split: the L-BFGS line search stays on host (scipy, as in the
 reference), but each functor evaluation is ONE jitted value_and_grad
@@ -204,6 +217,94 @@ def _head_grad(params, cfg: VPUConfig, fused, opt, pos, neg, *,
         with_flip, th, tw)
 
 
+# --- generic feature-BRS machinery for zoo models ---------------------------
+#
+# One trunk/tail split per insertion point. The trunk runs once per click;
+# the tail re-runs per L-BFGS iteration on the scaled feature map. Tails are
+# module-level functions so the jitted grad is cached per tail identity.
+
+@functools.partial(jax.jit, static_argnames=("cfg", "insertion"))
+def _zoo_trunk(params, cfg, crop, pts, *, insertion: str):
+    """(feat, rest): `feat` gets the scale/bias; `rest` is passed through."""
+    from ..models.zoo.hrnet import HRNetISConfig, hrnet_feats, _ocr_pre_cls
+    from ..models.zoo.deeplab import (DeeplabISConfig, deeplab_backbone,
+                                      deeplab_aspp_concat, deeplab_decoder)
+    crop = crop.astype(cfg.dtype)
+    if isinstance(cfg, HRNetISConfig):
+        feats = hrnet_feats(params, cfg, crop, pts)
+        if insertion == "A":            # reference brs.py:231-234
+            return feats, ()
+        y, _aux = _ocr_pre_cls(params["ocr"], feats)   # brs.py:236-240
+        return y, ()
+    assert isinstance(cfg, DeeplabISConfig), type(cfg).__name__
+    skip, c4 = deeplab_backbone(params, cfg, crop, pts)
+    if insertion == "after_c4":         # brs.py:132-143 (c1 cached)
+        return c4, (skip,)
+    y = deeplab_aspp_concat(params, c4, skip)
+    if insertion == "after_aspp":       # brs.py:136-140
+        return y, ()
+    return deeplab_decoder(params, y), ()   # after_deeplab, brs.py:144-145
+
+
+def _tail_hrnet_A(params, cfg, mod):
+    from ..models.zoo.hrnet import _ocr
+    return _ocr(params["ocr"], mod)[0]       # reference brs.py:184-193
+
+
+def _tail_hrnet_C(params, cfg, mod):
+    from .. import nn as _nn
+    return _nn.conv1x1(params["ocr"]["cls"], mod)   # brs.py:194-195
+
+
+def _tail_deeplab_c4(params, cfg, mod, skip):
+    from ..models.zoo.deeplab import (deeplab_aspp_concat, deeplab_decoder,
+                                      deeplab_seg_head)
+    y = deeplab_aspp_concat(params, mod, skip)      # brs.py:90-95
+    return deeplab_seg_head(params, deeplab_decoder(params, y))
+
+
+def _tail_deeplab_aspp(params, cfg, mod):
+    from ..models.zoo.deeplab import deeplab_decoder, deeplab_seg_head
+    return deeplab_seg_head(params, deeplab_decoder(params, mod))
+
+
+def _tail_deeplab_head(params, cfg, mod):
+    from ..models.zoo.deeplab import deeplab_seg_head
+    return deeplab_seg_head(params, mod)            # brs.py:96-99
+
+
+_ZOO_TAILS = {"A": _tail_hrnet_A, "C": _tail_hrnet_C,
+              "after_c4": _tail_deeplab_c4, "after_aspp": _tail_deeplab_aspp,
+              "after_deeplab": _tail_deeplab_head}
+
+
+@functools.lru_cache(maxsize=None)
+def _make_feature_grad(tail):
+    """Jitted value_and_grad of the scale/bias objective for one tail."""
+
+    def objective(params, cfg, feat, rest, opt, pos, neg, reg_weight,
+                  reg_bias_weight, with_flip, th, tw):
+        d = feat.shape[-1]
+        scale, bias = opt[:d], opt[d:]
+        reg = reg_weight * (jnp.sum(scale ** 2)
+                            + reg_bias_weight * jnp.sum(bias ** 2))
+        mod = (feat.astype(jnp.float32) * (1.0 + scale)
+               + bias).astype(feat.dtype)
+        logits = tail(params, cfg, mod, *rest)
+        logits = bilinear_resize(logits, th, tw, align_corners=True)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+        if with_flip:
+            probs = 0.5 * (probs[:1] + probs[1:, :, ::-1])
+            pos, neg = pos[:1], neg[:1]
+        loss, fmax_pos, fmax_neg = brs_mask_loss(probs, pos, neg)
+        return loss + reg, (logits, fmax_pos, fmax_neg)
+
+    grad = jax.value_and_grad(objective, argnums=4, has_aux=True)
+    return jax.jit(grad, static_argnames=("cfg", "reg_weight",
+                                          "reg_bias_weight", "with_flip",
+                                          "th", "tw"))
+
+
 class FeatureBRSPredictor:
     """f-BRS; drop-in for Predictor in the eval loop.
 
@@ -215,12 +316,14 @@ class FeatureBRSPredictor:
         (cheapest per-iteration cost, smallest capacity).
     """
 
+    _INSERTIONS = ("tokens", "neck", "head")
+
     def __init__(self, params, cfg: PredictorConfig, reg_weight: float = 1e-3,
                  reg_bias_weight: float = 10.0, max_iters: int = 20,
                  optimize_after_n_clicks: int = 1, min_iou_diff: float = 0.01,
                  insertion: str = "tokens"):
         from ..nn import cast_params
-        assert insertion in ("tokens", "neck", "head"), insertion
+        assert insertion in self._INSERTIONS, insertion
         self.params = cast_params(params, cfg.model.dtype)
         self.cfg = cfg
         self.reg_weight = reg_weight
@@ -236,6 +339,20 @@ class FeatureBRSPredictor:
     def _canvas(self, h, w):
         b = self.cfg.canvas_bucket
         return (-(-h // b) * b, -(-w // b) * b)
+
+    def _setup(self, crop, pts, th, tw):
+        """Run the trunk once; return (grad_fn, residual, opt_size) where
+        `grad_fn(params, model_cfg, *residual, opt, pos, neg, **kwargs)`
+        yields ((loss, (logits, fmax_pos, fmax_neg)), grad)."""
+        cfg = self.cfg
+        tokens, pv = _backbone_tokens(self.params, cfg.model, crop, pts)
+        if self.insertion == "tokens":
+            return _scale_bias_grad, (tokens, pv), 2 * tokens.shape[-1]
+        if self.insertion == "neck":
+            ms, q_out = _neck_feats(self.params, cfg.model, tokens, pv)
+            return _neck_grad, (ms, q_out), 2 * sum(m.shape[-1] for m in ms)
+        fused = _head_fused(self.params, cfg.model, tokens, pv)
+        return _head_grad, (fused,), 2 * fused.shape[-1]
 
     def set_input(self, image: np.ndarray, gt_mask: np.ndarray) -> None:
         self.state = init_session(image, gt_mask,
@@ -281,26 +398,11 @@ class FeatureBRSPredictor:
         pts = _transform_points(points, roi, (th, tw), cfg.with_flip)
 
         # 3. run the network up to the insertion point ONCE per click
-        tokens, pv = _backbone_tokens(self.params, cfg.model, crop, pts)
         pos, neg = click_maps(pts, th, tw)
-
         kwargs = dict(reg_weight=self.reg_weight,
                       reg_bias_weight=self.reg_bias_weight,
                       with_flip=cfg.with_flip, th=th, tw=tw)
-        if self.insertion == "tokens":
-            residual = (tokens, pv)
-            grad_fn = _scale_bias_grad
-            opt_size = 2 * tokens.shape[-1]
-        elif self.insertion == "neck":
-            ms, q_out = _neck_feats(self.params, cfg.model, tokens, pv)
-            residual = (ms, q_out)
-            grad_fn = _neck_grad
-            opt_size = 2 * sum(m.shape[-1] for m in ms)
-        else:
-            fused = _head_fused(self.params, cfg.model, tokens, pv)
-            residual = (fused,)
-            grad_fn = _head_grad
-            opt_size = 2 * fused.shape[-1]
+        grad_fn, residual, opt_size = self._setup(crop, pts, th, tw)
 
         # 4. L-BFGS over (scale, bias)
         if self.opt_data is None or self.opt_data.size != opt_size:
@@ -375,19 +477,51 @@ class FeatureBRSPredictor:
         return np.asarray(self.state.points[0])
 
 
+class ZooFeatureBRSPredictor(FeatureBRSPredictor):
+    """f-BRS at the reference's own insertion points for zoo models:
+    HRNet 'A'/'C' (HRNetFeatureBRSPredictor, brs.py:150-244) and DeepLab
+    'after_c4'/'after_aspp'/'after_deeplab' (FeatureBRSPredictor,
+    brs.py:53-147)."""
+
+    _INSERTIONS = ("A", "C", "after_c4", "after_aspp", "after_deeplab")
+
+    def _setup(self, crop, pts, th, tw):
+        feat, rest = _zoo_trunk(self.params, self.cfg.model, crop, pts,
+                                insertion=self.insertion)
+        grad = _make_feature_grad(_ZOO_TAILS[self.insertion])
+
+        def grad_fn(params, mcfg, f, r, opt, pos, neg, *, reg_weight,
+                    reg_bias_weight, with_flip, th, tw):
+            return grad(params, mcfg, f, r, opt, pos, neg, reg_weight,
+                        reg_bias_weight, with_flip, th, tw)
+
+        return grad_fn, (feat, rest), 2 * feat.shape[-1]
+
+
 # ---------------------------------------------------------------------------
-# Input BRS (RGB perturbation)
+# Input BRS (RGB / dist-map perturbation)
 # ---------------------------------------------------------------------------
 
-def _rgb_objective(params, cfg: VPUConfig, crop, pts, delta, pos, neg,
-                   reg_weight: float, with_flip: bool, th: int, tw: int):
-    from ..models.vpu import vpu_forward
-    d = delta.reshape(1, th, tw, 3)
+def _input_objective(params, cfg, crop, pts, delta, pos, neg,
+                     reg_weight: float, with_flip: bool, th: int, tw: int,
+                     target: str):
+    """Generic input-optimization objective (brs.py:252-290): works on any
+    registered model family. target='rgb' perturbs the image channels
+    (pre-normalization — see module docstring deviation note);
+    target='dmaps' perturbs the two disk coord channels via `coord_bias`."""
+    from ..models.registry import forward_for
+    reg = reg_weight * jnp.sum(delta ** 2)
+    nch = 3 if target == "rgb" else 2
+    d = delta.reshape(1, th, tw, nch)
     if with_flip:
         d = jnp.concatenate([d, d[:, :, ::-1, :]], axis=0)
-    reg = reg_weight * jnp.sum(delta ** 2)
-    perturbed = crop.at[..., :3].add(d.astype(crop.dtype))
-    out = vpu_forward(params, cfg, perturbed, pts, prompt_type=0)
+    coord_bias = None
+    if target == "rgb":
+        crop = crop.at[..., :3].add(d.astype(crop.dtype))
+    else:
+        coord_bias = d
+    out = forward_for(cfg)(params, cfg, crop, pts, prompt_type=0,
+                           coord_bias=coord_bias)
     logits = out["instances"]
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
     if with_flip:
@@ -398,17 +532,29 @@ def _rgb_objective(params, cfg: VPUConfig, crop, pts, delta, pos, neg,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "reg_weight",
-                                             "with_flip", "th", "tw"))
-def _rgb_grad(params, cfg: VPUConfig, crop, pts, delta, pos, neg, *,
-              reg_weight, with_flip, th, tw):
-    return jax.value_and_grad(_rgb_objective, argnums=4, has_aux=True)(
+                                             "with_flip", "th", "tw",
+                                             "target"))
+def _input_grad(params, cfg, crop, pts, delta, pos, neg, *,
+                reg_weight, with_flip, th, tw, target):
+    return jax.value_and_grad(_input_objective, argnums=4, has_aux=True)(
         params, cfg, crop, pts, delta, pos, neg, reg_weight, with_flip,
-        th, tw)
+        th, tw, target)
 
 
 class InputBRSPredictor(FeatureBRSPredictor):
-    """RGB-BRS (brs.py:226-307): L-BFGS over an input perturbation; every
-    iteration pays a full forward."""
+    """RGB-BRS / DistMap-BRS (brs.py:247-307): L-BFGS over an input
+    perturbation; every iteration pays a full forward.
+
+    `optimize_target`: 'rgb' (3-channel image delta) or 'dmaps' (2-channel
+    disk-map delta, `__init__.py:76-77` use_dmaps)."""
+
+    _INSERTIONS = ("tokens",)  # unused; kept for ctor compatibility
+
+    def __init__(self, params, cfg: PredictorConfig,
+                 optimize_target: str = "rgb", **kw):
+        assert optimize_target in ("rgb", "dmaps"), optimize_target
+        super().__init__(params, cfg, **kw)
+        self.optimize_target = optimize_target
 
     def next_click(self) -> float:
         # reuse the parent's click/ROI code by temporarily disabling opt,
@@ -444,15 +590,16 @@ class InputBRSPredictor(FeatureBRSPredictor):
         pts = _transform_points(points, roi, (th, tw), cfg.with_flip)
         pos, neg = click_maps(pts, th, tw)
 
-        delta0 = np.zeros((th * tw * 3,), np.float64)
+        nch = 3 if self.optimize_target == "rgb" else 2
+        delta0 = np.zeros((th * tw * nch,), np.float64)
         best = {"loss": np.inf, "x": delta0.copy()}
+        kwargs = dict(reg_weight=self.reg_weight, with_flip=cfg.with_flip,
+                      th=th, tw=tw, target=self.optimize_target)
 
         def functor(x):
             xj = jnp.asarray(x, jnp.float32)
-            (loss, (logits, fp_, fn_)), grad = _rgb_grad(
-                self.params, cfg.model, crop, pts, xj, pos, neg,
-                reg_weight=self.reg_weight, with_flip=cfg.with_flip,
-                th=th, tw=tw)
+            (loss, (logits, fp_, fn_)), grad = _input_grad(
+                self.params, cfg.model, crop, pts, xj, pos, neg, **kwargs)
             f_val = float(loss)
             if f_val < best["loss"]:
                 best["loss"] = f_val
@@ -467,9 +614,8 @@ class InputBRSPredictor(FeatureBRSPredictor):
                           pgtol=1e-8, maxfun=self.max_iters)
 
         xbest = jnp.asarray(best["x"], jnp.float32)
-        (_, (logits, _, _)), _ = _rgb_grad(
-            self.params, cfg.model, crop, pts, xbest, pos, neg,
-            reg_weight=self.reg_weight, with_flip=cfg.with_flip, th=th, tw=tw)
+        (_, (logits, _, _)), _ = _input_grad(
+            self.params, cfg.model, crop, pts, xbest, pos, neg, **kwargs)
         if cfg.with_flip:
             logits = 0.5 * (logits[:1] + logits[1:, :, ::-1, :])
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
@@ -487,20 +633,43 @@ class InputBRSPredictor(FeatureBRSPredictor):
 
 def get_predictor(params, cfg: PredictorConfig, brs_mode: str = "NoBRS",
                   **brs_kwargs):
-    """predictors/__init__.py:9-45 equivalent factory."""
+    """predictors/__init__.py:9-99 equivalent factory — all six reference
+    modes: NoBRS, f-BRS-A/B/C, RGB-BRS, DistMap-BRS.
+
+    f-BRS dispatch mirrors the reference: HRNet models get the
+    HRNetFeatureBRSPredictor insertion remap A/A/C (`__init__.py:64-66`),
+    DeepLab models get after_c4/after_aspp/after_deeplab
+    (`__init__.py:53-57`); VPU models use the tokens/neck/head remap
+    (PARITY.md deviation #9)."""
     from .predictor import Predictor
+    from ..models.vpu import VPUConfig
+    from ..models.zoo.hrnet import HRNetISConfig
+    from ..models.zoo.deeplab import DeeplabISConfig
     mode = brs_mode.lower()
     if mode == "nobrs":
         return Predictor(params, cfg)
-    if not hasattr(cfg.model, "backbone"):
-        raise ValueError(
-            f"BRS modes need a VPU/PlainVit-style model (backbone token "
-            f"access); got {type(cfg.model).__name__} — use NoBRS")
-    insertion = {"f-brs-a": "tokens", "f-brs": "tokens",
-                 "f-brs-b": "neck", "f-brs-c": "head"}.get(mode)
-    if insertion is not None:
+    letter = {"f-brs-a": "a", "f-brs": "a", "f-brs-b": "b",
+              "f-brs-c": "c"}.get(mode)
+    if letter is not None:
+        m = cfg.model
+        if isinstance(m, HRNetISConfig):
+            insertion = {"a": "A", "b": "A", "c": "C"}[letter]
+        elif isinstance(m, DeeplabISConfig):
+            insertion = {"a": "after_c4", "b": "after_aspp",
+                         "c": "after_deeplab"}[letter]
+        elif isinstance(m, VPUConfig):
+            insertion = {"a": "tokens", "b": "neck", "c": "head"}[letter]
+        else:
+            raise ValueError(
+                f"f-BRS has no insertion map for {type(m).__name__} "
+                f"(reference supports DeepLab/HRNet only; VPU added here) "
+                f"— use NoBRS, RGB-BRS or DistMap-BRS")
         brs_kwargs.setdefault("insertion", insertion)
-        return FeatureBRSPredictor(params, cfg, **brs_kwargs)
-    if mode in ("rgb-brs", "input-brs"):
+        klass = FeatureBRSPredictor if isinstance(m, VPUConfig) \
+            else ZooFeatureBRSPredictor
+        return klass(params, cfg, **brs_kwargs)
+    if mode in ("rgb-brs", "input-brs", "distmap-brs"):
+        brs_kwargs.setdefault(
+            "optimize_target", "dmaps" if mode == "distmap-brs" else "rgb")
         return InputBRSPredictor(params, cfg, **brs_kwargs)
     raise ValueError(f"unknown BRS mode {brs_mode!r}")

@@ -219,7 +219,10 @@ class ADE20kDataset(EvalDataset):
     """ADE20k SceneParsing instances (`inference/utils.py:72-73`).
     ADEChallengeData2016 layout: `images/<split>/*.jpg` +
     `annotations_instance/<split>/*.png` where the annotation PNG encodes
-    class in channel R and instance id in channel G."""
+    class in channel R and instance id in channel G. Instance ids are
+    per-class in this encoding, so objects are keyed by the (R, G) =
+    (class, instance) pair — keying by G alone would merge same-numbered
+    instances of different classes into one evaluation mask."""
 
     def __init__(self, root, split: str = "val"):
         self.root = Path(root)
@@ -236,12 +239,18 @@ class ADE20kDataset(EvalDataset):
         image = _imread(ipath)
         ann = _maskread(self.root / "annotations_instance" / self.subdir
                         / (ipath.stem + ".png"))
-        inst = ann[..., 1] if ann.ndim == 3 else ann
+        if ann.ndim == 3:
+            # pack (class, instance) into one int key: class*1000 + instance
+            cls = ann[..., 0].astype(np.int32)
+            inst = ann[..., 1].astype(np.int32)
+            keyed = np.where(inst > 0, cls * 1000 + inst, 0)
+        else:
+            keyed = ann.astype(np.int32)
         masks = {}
-        for obj_id in np.unique(inst):
+        for obj_id in np.unique(keyed):
             if obj_id == 0:
                 continue
-            masks[int(obj_id)] = (inst == obj_id).astype(np.int32)
+            masks[int(obj_id)] = (keyed == obj_id).astype(np.int32)
         return DSample(image=image, masks=masks)
 
 

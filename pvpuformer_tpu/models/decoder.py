@@ -8,6 +8,11 @@ image tokens with 2-D sin-cos positional encodings -> FFN, pre-norm, with
 per-layer intermediate outputs available. The shipped VPU path uses the
 TwoWayTransformer instead (models/two_way.py); this exists for capability
 parity with those experiment configs.
+
+Deviation (PARITY.md #8b): inference-only scope — the reference layer's
+dropout(0.1) on the self/cross/FFN residuals is omitted (parity is tested
+in eval mode, where torch dropout is identity). Wire dropout plumbing in
+before using this stack for training.
 """
 from __future__ import annotations
 

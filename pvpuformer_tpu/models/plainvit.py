@@ -69,6 +69,7 @@ def init_plainvit(key, cfg: PlainVitConfig) -> Dict[str, Any]:
 def plainvit_forward(params, cfg: PlainVitConfig, image: jnp.ndarray,
                      points: jnp.ndarray,
                      shuffle_key: Optional[jax.Array] = None,
+                     coord_bias=None,
                      **_) -> Dict[str, jnp.ndarray]:
     """image (B, H, W, 3|4), points (B, 2N, 3) -> {'instances': logits}."""
     dt = cfg.dtype
@@ -84,6 +85,8 @@ def plainvit_forward(params, cfg: PlainVitConfig, image: jnp.ndarray,
     h, w = rgb.shape[1], rgb.shape[2]
     disks = dist_maps(points, h, w, norm_radius=cfg.norm_radius,
                       use_disks=cfg.use_disks).astype(dt)
+    if coord_bias is not None:                 # DistMap-BRS (brs.py:272-276)
+        disks = disks + coord_bias.astype(dt)
     coords = jnp.concatenate([prev_mask, disks], axis=-1) \
         if prev_mask is not None else disks
 

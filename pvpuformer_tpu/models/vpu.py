@@ -150,11 +150,16 @@ def prepare_input(cfg: VPUConfig, image: jnp.ndarray):
 
 
 def coord_features(cfg: VPUConfig, image: jnp.ndarray, prev_mask, points,
-                   boxes=None, scribbles=None, prompt_type: int = 0):
-    """[prev_mask, pos, neg] channels (is_model.py:78-95)."""
+                   boxes=None, scribbles=None, prompt_type: int = 0,
+                   coord_bias=None):
+    """[prev_mask, pos, neg] channels (is_model.py:78-95). `coord_bias`
+    (B,H,W,2) optionally perturbs the disk channels only — the
+    DistMap-BRS optimization target (reference brs.py:272-276)."""
     h, w = image.shape[1], image.shape[2]
     disks = dist_maps(points, h, w, norm_radius=cfg.norm_radius,
                       use_disks=cfg.use_disks).astype(image.dtype)
+    if coord_bias is not None:
+        disks = disks + coord_bias.astype(image.dtype)
     if prompt_type == 1 and boxes is not None:
         disks = draw_box_into_coords(disks, boxes, points.shape[1] // 2)
     elif prompt_type == 2 and scribbles is not None:
@@ -180,14 +185,15 @@ def vpu_forward(params, cfg: VPUConfig, image: jnp.ndarray, points: jnp.ndarray,
                 scribbles: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                 prompt_type: int = 0,
                 dropout_key: Optional[jax.Array] = None,
-                shuffle_key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+                shuffle_key: Optional[jax.Array] = None,
+                coord_bias=None) -> Dict[str, jnp.ndarray]:
     """Full forward. `prompt_type` is a static Python int (0 click / 1 box /
     2 scribble), selecting the PPuE encoder at trace time."""
     dt = cfg.dtype
     image = image.astype(dt)
     rgb, prev_mask = prepare_input(cfg, image)
     coords = coord_features(cfg, rgb, prev_mask, points, boxes, scribbles,
-                            prompt_type)
+                            prompt_type, coord_bias=coord_bias)
 
     tokens = vpu_backbone_embed(params, cfg, rgb, coords, shuffle_key)
 

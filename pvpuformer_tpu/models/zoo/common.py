@@ -66,9 +66,13 @@ def maps_transform(p, coords: jnp.ndarray,
 
 
 def is_inputs(image: jnp.ndarray, points: jnp.ndarray, norm_radius: float,
-              use_disks: bool, with_prev_mask: bool, dtype
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B,H,W,3|4) + clicks -> (normalized rgb, coord channels)."""
+              use_disks: bool, with_prev_mask: bool, dtype,
+              coord_bias=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,H,W,3|4) + clicks -> (normalized rgb, coord channels).
+
+    `coord_bias` (B,H,W,2) optionally perturbs the disk channels only
+    (never the prev-mask channel) — the DistMap-BRS optimization target
+    (reference brs.py:272-276)."""
     image = image.astype(dtype)
     prev_mask = None
     if with_prev_mask:
@@ -80,6 +84,8 @@ def is_inputs(image: jnp.ndarray, points: jnp.ndarray, norm_radius: float,
     h, w = rgb.shape[1], rgb.shape[2]
     disks = dist_maps(points, h, w, norm_radius=norm_radius,
                       use_disks=use_disks).astype(dtype)
+    if coord_bias is not None:
+        disks = disks + coord_bias.astype(dtype)
     coords = jnp.concatenate([prev_mask, disks], axis=-1) \
         if prev_mask is not None else disks
     return rgb, coords

@@ -133,11 +133,15 @@ def _basic(p, x, stride: int, dilation: int, prev_dilation: int):
     return jax.nn.relu(res + y)
 
 
-def _init_layer(key, block, cin, planes, blocks, expansion):
+def _init_layer(key, block, cin, planes, blocks, expansion, stride=1):
+    """resnetv1b.py:154-165 `_make_layer`: block 0 gets a 1x1 downsample
+    projection only when `stride != 1 or inplanes != planes*expansion`
+    (identity residual otherwise — e.g. resnet34 layer1, 64ch/stride 1)."""
     out = planes * expansion
+    need_down = stride != 1 or cin != out
     return [(_init_bottleneck if block == "bottleneck" else _init_basic)(
         jax.random.fold_in(key, j), cin if j == 0 else out, planes,
-        downsample=(j == 0)) for j in range(blocks)]
+        downsample=(j == 0 and need_down)) for j in range(blocks)]
 
 
 def _layer(ps, x, block: str, stride: int, dilation: int = 1):
@@ -186,10 +190,14 @@ def init_deeplab_is(key, cfg: DeeplabISConfig) -> Dict[str, Any]:
 
     params: Dict[str, Any] = {
         "maps_transform": init_maps_transform(ks[0], coord_ch),
-        "layer1": _init_layer(ks[4], block, cfg.stem_out, 64, layers[0], exp),
-        "layer2": _init_layer(ks[5], block, 64 * exp, 128, layers[1], exp),
-        "layer3": _init_layer(ks[6], block, 128 * exp, 256, layers[2], exp),
-        "layer4": _init_layer(ks[7], block, 256 * exp, 512, layers[3], exp),
+        "layer1": _init_layer(ks[4], block, cfg.stem_out, 64, layers[0], exp,
+                              stride=1),
+        "layer2": _init_layer(ks[5], block, 64 * exp, 128, layers[1], exp,
+                              stride=2),
+        "layer3": _init_layer(ks[6], block, 128 * exp, 256, layers[2], exp,
+                              stride=1),
+        "layer4": _init_layer(ks[7], block, 256 * exp, 512, layers[3], exp,
+                              stride=1),
         "aspp": {
             "b0": init_conv_bn(ks[8], 1, 1, aspp_in, ch),
             "b1": init_conv_bn(ks[9], 3, 3, aspp_in, ch),
@@ -226,11 +234,16 @@ def _aspp(p, x):
     return conv_bn_relu(p["project"], jnp.concatenate(outs, axis=-1))
 
 
-def deeplab_is_forward(params, cfg: DeeplabISConfig, image: jnp.ndarray,
-                       points: jnp.ndarray, **_) -> Dict[str, jnp.ndarray]:
+def deeplab_backbone(params, cfg: DeeplabISConfig, image: jnp.ndarray,
+                     points: jnp.ndarray, coord_bias=None):
+    """Trunk to (skip-projected c1, c4) — the feature-BRS 'after_c4'
+    insertion point (reference brs.py:132-143: c4 is scaled, the
+    skip-projected c1 is cached). `coord_bias` optionally perturbs the
+    disk coord channels (DistMap-BRS, brs.py:272-276)."""
     layers, block, stem = RESNET_SPECS[cfg.backbone]
     rgb, coords = is_inputs(image, points, cfg.norm_radius, cfg.use_disks,
-                            cfg.with_prev_mask, cfg.dtype)
+                            cfg.with_prev_mask, cfg.dtype,
+                            coord_bias=coord_bias)
     extra = maps_transform(params["maps_transform"], coords,
                            leaky=cfg.use_leaky_relu)
 
@@ -256,22 +269,43 @@ def deeplab_is_forward(params, cfg: DeeplabISConfig, image: jnp.ndarray,
     c2 = _layer(params["layer2"], c1, block, stride=2)            # s8
     c3 = _layer(params["layer3"], c2, block, stride=1, dilation=2)  # s8 d2
     c4 = _layer(params["layer4"], c3, block, stride=1, dilation=4)  # s8 d4
-    del c2, c3
-
-    y = _aspp(params["aspp"], c4)
-    y = bilinear_resize(y, c1.shape[1], c1.shape[2], align_corners=True)
     skip = conv_bn_relu(params["skip"], c1)
-    y = jnp.concatenate([y, skip], axis=-1)                  # (aspp, skip)
+    return skip, c4
 
+
+def deeplab_aspp_concat(params, c4: jnp.ndarray,
+                        skip: jnp.ndarray) -> jnp.ndarray:
+    """ASPP(c4) upsampled + skip concat — the 'after_aspp' insertion
+    feature map (ch+32 channels; deeplab_v3.py:96-101, brs.py:136-140)."""
+    y = _aspp(params["aspp"], c4)
+    y = bilinear_resize(y, skip.shape[1], skip.shape[2], align_corners=True)
+    return jnp.concatenate([y, skip], axis=-1)               # (aspp, skip)
+
+
+def deeplab_decoder(params, y: jnp.ndarray) -> jnp.ndarray:
+    """_DeepLabHead on the concat map -> ch-channel features — the
+    'after_deeplab' insertion feature map (brs.py:144-145)."""
     d = params["dhead"]
     y = _sep(d["sep1"], y)
     y = _sep(d["sep2"], y)
-    y = nn.conv1x1(d["cls"], y)
+    return nn.conv1x1(d["cls"], y)
 
+
+def deeplab_seg_head(params, y: jnp.ndarray) -> jnp.ndarray:
+    """SepConvHead -> 1-channel logits (basic_blocks.py:27-71)."""
     h = params["head"]
     y = _sep(h["sep1"], y)
     y = _sep(h["sep2"], y)
-    seg = nn.conv1x1(h["cls"], y)
+    return nn.conv1x1(h["cls"], y)
+
+
+def deeplab_is_forward(params, cfg: DeeplabISConfig, image: jnp.ndarray,
+                       points: jnp.ndarray, coord_bias=None,
+                       **_) -> Dict[str, jnp.ndarray]:
+    skip, c4 = deeplab_backbone(params, cfg, image, points, coord_bias)
+    y = deeplab_aspp_concat(params, c4, skip)
+    y = deeplab_decoder(params, y)
+    seg = deeplab_seg_head(params, y)
 
     hh, ww = image.shape[1], image.shape[2]
     return {"instances": bilinear_resize(seg, hh, ww, align_corners=True),

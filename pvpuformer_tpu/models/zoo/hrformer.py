@@ -212,9 +212,11 @@ def init_hrformer_is(key, cfg: HRFormerISConfig) -> Dict[str, Any]:
 
 
 def hrformer_is_forward(params, cfg: HRFormerISConfig, image: jnp.ndarray,
-                        points: jnp.ndarray, **_) -> Dict[str, jnp.ndarray]:
+                        points: jnp.ndarray, coord_bias=None,
+                        **_) -> Dict[str, jnp.ndarray]:
     rgb, coords = is_inputs(image, points, cfg.norm_radius, cfg.use_disks,
-                            cfg.with_prev_mask, cfg.dtype)
+                            cfg.with_prev_mask, cfg.dtype,
+                            coord_bias=coord_bias)
     extra = maps_transform(params["maps_transform"], coords,
                            leaky=cfg.use_leaky_relu)
     x = conv_bn_relu(params["stem1"], rgb, stride=2)

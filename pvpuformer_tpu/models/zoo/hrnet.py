@@ -213,9 +213,11 @@ def _init_ocr(key, in_ch: int, ocr_w: int):
     }
 
 
-def _ocr(p, feats: jnp.ndarray):
+def _ocr_pre_cls(p, feats: jnp.ndarray):
     """feats: (B, H, W, C) concat of upsampled branches.
-    Returns (final logits, aux logits) at stride 4."""
+    Returns (pre-cls OCR features (B, H, W, 2*ocr_w), aux logits) —
+    split out so feature-BRS insertion 'C' (brs.py:194-195) can scale the
+    pre-cls features and re-run only the cls conv."""
     aux = conv_bn_relu(p["aux"]["c1"], feats)
     aux_logits = nn.conv1x1(p["aux"]["cls"], aux)          # (B, H, W, K=1)
 
@@ -248,6 +250,12 @@ def _ocr(p, feats: jnp.ndarray):
     ctx = conv_bn_relu(p["f_up"], ctx)
 
     y = conv_bn_relu(p["bottleneck"], jnp.concatenate([ctx, x], axis=-1))
+    return y, aux_logits
+
+
+def _ocr(p, feats: jnp.ndarray):
+    """(final logits, aux logits) at stride 4."""
+    y, aux_logits = _ocr_pre_cls(p, feats)
     return nn.conv1x1(p["cls"], y), aux_logits
 
 
@@ -281,10 +289,15 @@ def init_hrnet_is(key, cfg: HRNetISConfig) -> Dict[str, Any]:
     return params
 
 
-def hrnet_is_forward(params, cfg: HRNetISConfig, image: jnp.ndarray,
-                     points: jnp.ndarray, **_) -> Dict[str, jnp.ndarray]:
+def hrnet_feats(params, cfg: HRNetISConfig, image: jnp.ndarray,
+                points: jnp.ndarray, coord_bias=None) -> jnp.ndarray:
+    """Trunk: stem -> stages -> stride-4 concat of all branches
+    (hrnet_ocr.py `compute_hrnet_feats`, brs.py:231 insertion point).
+    `coord_bias` optionally perturbs the disk coord channels
+    (DistMap-BRS, reference brs.py:272-276)."""
     rgb, coords = is_inputs(image, points, cfg.norm_radius, cfg.use_disks,
-                            cfg.with_prev_mask, cfg.dtype)
+                            cfg.with_prev_mask, cfg.dtype,
+                            coord_bias=coord_bias)
     extra = maps_transform(params["maps_transform"], coords,
                            leaky=cfg.use_leaky_relu)
 
@@ -305,9 +318,15 @@ def hrnet_is_forward(params, cfg: HRNetISConfig, image: jnp.ndarray,
         xs = _module(m, xs)
 
     th, tw = xs[0].shape[1], xs[0].shape[2]
-    feats = jnp.concatenate(
+    return jnp.concatenate(
         [xs[0]] + [bilinear_resize(v, th, tw, align_corners=True)
                    for v in xs[1:]], axis=-1)
+
+
+def hrnet_is_forward(params, cfg: HRNetISConfig, image: jnp.ndarray,
+                     points: jnp.ndarray, coord_bias=None,
+                     **_) -> Dict[str, jnp.ndarray]:
+    feats = hrnet_feats(params, cfg, image, points, coord_bias)
     logits, aux = _ocr(params["ocr"], feats)
 
     hh, ww = image.shape[1], image.shape[2]

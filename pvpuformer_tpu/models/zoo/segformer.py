@@ -174,9 +174,11 @@ def segformer_backbone(params, cfg: SegformerISConfig,
 
 
 def segformer_is_forward(params, cfg: SegformerISConfig, image: jnp.ndarray,
-                         points: jnp.ndarray, **_) -> Dict[str, jnp.ndarray]:
+                         points: jnp.ndarray, coord_bias=None,
+                         **_) -> Dict[str, jnp.ndarray]:
     rgb, coords = is_inputs(image, points, cfg.norm_radius, cfg.use_disks,
-                            cfg.with_prev_mask, cfg.dtype)
+                            cfg.with_prev_mask, cfg.dtype,
+                            coord_bias=coord_bias)
     feats = segformer_backbone(params, cfg,
                                jnp.concatenate([rgb, coords], axis=-1))
 

@@ -178,9 +178,11 @@ def init_swin_is(key, cfg: SwinISConfig) -> Dict[str, Any]:
 
 
 def swin_is_forward(params, cfg: SwinISConfig, image: jnp.ndarray,
-                    points: jnp.ndarray, **_) -> Dict[str, jnp.ndarray]:
+                    points: jnp.ndarray, coord_bias=None,
+                    **_) -> Dict[str, jnp.ndarray]:
     rgb, coords = is_inputs(image, points, cfg.norm_radius, cfg.use_disks,
-                            cfg.with_prev_mask, cfg.dtype)
+                            cfg.with_prev_mask, cfg.dtype,
+                            coord_bias=coord_bias)
     x = nn.patch_embed(params["patch_embed"], rgb, (4, 4))
     if "patch_norm" in params:
         x = nn.layer_norm(params["patch_norm"], x, 1e-5)

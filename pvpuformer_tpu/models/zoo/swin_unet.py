@@ -102,9 +102,11 @@ def init_swin_unet_is(key, cfg: SwinUNetISConfig) -> Dict[str, Any]:
 
 
 def swin_unet_is_forward(params, cfg: SwinUNetISConfig, image: jnp.ndarray,
-                         points: jnp.ndarray, **_) -> Dict[str, jnp.ndarray]:
+                         points: jnp.ndarray, coord_bias=None,
+                         **_) -> Dict[str, jnp.ndarray]:
     rgb, coords = is_inputs(image, points, cfg.norm_radius, cfg.use_disks,
-                            cfg.with_prev_mask, cfg.dtype)
+                            cfg.with_prev_mask, cfg.dtype,
+                            coord_bias=coord_bias)
     x = nn.patch_embed(params["patch_embed"],
                        jnp.concatenate([rgb, coords], axis=-1), (4, 4))
     h, w = rgb.shape[1] // 4, rgb.shape[2] // 4

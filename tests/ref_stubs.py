@@ -22,6 +22,12 @@ def _module(name: str) -> types.ModuleType:
     return mod
 
 
+def _unpublished_init(self, *a, **k):
+    raise NotImplementedError(
+        "isegm.data was never published by the reference; "
+        "use pvpuformer_tpu.inference.datasets instead")
+
+
 def install() -> None:
     """Idempotently register easydict/timm/mmcv/torchvision stubs."""
     if "mmcv" in sys.modules and getattr(sys.modules["mmcv"], "_pvpu_stub", False):
@@ -34,6 +40,59 @@ def install() -> None:
     for alias, builtin in (("int", int), ("float", float), ("bool", bool)):
         if alias not in np.__dict__:
             np.__dict__[alias] = builtin
+
+    # --- bezier (engine/trainer.py:7) — real Bernstein evaluation so
+    # cal_scribble runs; nodes are (dim, n_points) as in the real package.
+    if "bezier" not in sys.modules:
+        bz = _module("bezier")
+
+        class Curve:
+            def __init__(self, nodes, degree):
+                self.nodes = np.asarray(nodes, dtype=np.float64)
+                self.degree = degree
+
+            def evaluate_multi(self, s_vals):
+                from math import comb
+                n = self.degree
+                s = np.asarray(s_vals, dtype=np.float64)
+                basis = np.stack([comb(n, i) * s ** i * (1 - s) ** (n - i)
+                                  for i in range(n + 1)], axis=0)  # (n+1, N)
+                return self.nodes @ basis                          # (dim, N)
+
+        bz.Curve = Curve
+
+    # --- skimage.measure.label (trainer.py:1176, connectivity=2 =
+    # 8-connected) via scipy.ndimage.label. Label NUMBERING can differ from
+    # skimage's raster order; everything the reference derives from it in
+    # the click-protocol path (as_prompt_type=0) is discarded, and the
+    # box/scribble tests compare against our own oracles, not this stub.
+    if "skimage" not in sys.modules:
+        sk = _module("skimage")
+        skm = _module("skimage.measure")
+        sk.measure = skm
+
+        def label(mask, connectivity=2, background=0):
+            from scipy import ndimage
+            structure = np.ones((3, 3)) if connectivity == 2 else None
+            lab, _ = ndimage.label(np.asarray(mask) != background,
+                                   structure=structure)
+            return lab
+
+        skm.label = label
+
+    # --- isegm.data (reference-internal, never published — SURVEY.md §2;
+    # inference/utils.py:6 imports dataset classes from it at module level).
+    # Import-surface only: the protocol test never constructs these.
+    if "isegm.data" not in sys.modules:
+        data_mod = _module("isegm.data")
+        ds_mod = _module("isegm.data.datasets")
+        data_mod.datasets = ds_mod
+        for _name in ("GrabCutDataset", "BerkeleyDataset", "DavisDataset",
+                      "SBDEvaluationDataset", "PascalVocDataset",
+                      "BraTSDataset", "ssTEMDataset", "OAIZIBDataset",
+                      "HARDDataset", "ADE20kDataset"):
+            setattr(ds_mod, _name,
+                    type(_name, (), {"__init__": _unpublished_init}))
 
     # --- easydict ---------------------------------------------------------
     if "easydict" not in sys.modules:
@@ -88,9 +147,27 @@ def install() -> None:
         tvit._cfg = lambda url="", **kw: dict(url=url, **kw)
         timm_models.vision_transformer = tvit
 
-    # --- torchvision (import-only in swin_transformer_helper/checkpoint.py) -
+    # --- torchvision: import-only in swin_transformer_helper/checkpoint.py;
+    # predictors/base.py:40 actually calls transforms.ToTensor (HWC uint8
+    # [0,255] -> CHW float [0,1]) — implemented with real math so the
+    # reference's own BasePredictor can run in the protocol parity test.
     if "torchvision" not in sys.modules:
-        _module("torchvision")
+        tv = _module("torchvision")
+        tvt = _module("torchvision.transforms")
+        tv.transforms = tvt
+
+        class ToTensor:
+            def __call__(self, pic):
+                arr = np.asarray(pic)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                t = torch.from_numpy(
+                    arr.transpose(2, 0, 1).copy()).contiguous()
+                if arr.dtype == np.uint8:
+                    return t.to(torch.float32).div(255)
+                return t.to(torch.float32)
+
+        tvt.ToTensor = ToTensor
 
     # --- mmcv ----------------------------------------------------------------
     mmcv = _module("mmcv")

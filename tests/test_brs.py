@@ -86,3 +86,76 @@ def test_feature_brs_insertion_variants(mode, ins):
         assert pred.opt_data.shape == (2 * (16 + 32 + 48 + 64),)
     else:
         assert pred.opt_data.shape == (2 * 32,)
+
+
+def test_distmap_brs_session():
+    pred, gt = _session("DistMap-BRS")
+    assert isinstance(pred, InputBRSPredictor)
+    assert pred.optimize_target == "dmaps"
+    iou = pred.next_click()
+    assert np.isfinite(iou)
+
+
+def _zoo_session(mcfg, mode, **kw):
+    from pvpuformer_tpu.models import registry
+    params = registry.init_for(mcfg)(jax.random.key(0), mcfg)
+    cfg = PredictorConfig(model=mcfg, target_size=(64, 64), min_crop_size=32)
+    pred = get_predictor(params, cfg, mode, max_iters=3, **kw)
+    r = np.random.default_rng(0)
+    image = (r.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    gt = np.zeros((64, 64), np.float32)
+    gt[16:48, 20:52] = 1.0
+    pred.set_input(image, gt)
+    return pred
+
+
+@pytest.mark.parametrize("mode,ins,opt_ch", [
+    ("f-BRS-A", "A", 8 + 16 + 32 + 64),     # sum of branch widths (w=8)
+    ("f-BRS-C", "C", 2 * 16),               # 2 * ocr_width
+])
+def test_hrnet_feature_brs(mode, ins, opt_ch):
+    """HRNetFeatureBRSPredictor insertion remap (__init__.py:64-66,
+    brs.py:156-160 channel counts)."""
+    from pvpuformer_tpu.models.zoo.hrnet import HRNetISConfig
+    from pvpuformer_tpu.inference.brs import ZooFeatureBRSPredictor
+    mcfg = HRNetISConfig(width=8, small=True, ocr_width=16)
+    pred = _zoo_session(mcfg, mode)
+    assert isinstance(pred, ZooFeatureBRSPredictor)
+    assert pred.insertion == ins
+    iou = pred.next_click()
+    assert np.isfinite(iou)
+    assert pred.opt_data.shape == (2 * opt_ch,)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode,ins", [
+    ("f-BRS-A", "after_c4"), ("f-BRS-B", "after_aspp"),
+    ("f-BRS-C", "after_deeplab")])
+def test_deeplab_feature_brs(mode, ins):
+    """DeepLab insertion map (__init__.py:53-57)."""
+    from pvpuformer_tpu.models.zoo.deeplab import DeeplabISConfig
+    mcfg = DeeplabISConfig(backbone="resnet34", ch=32)
+    pred = _zoo_session(mcfg, mode)
+    assert pred.insertion == ins
+    iou = pred.next_click()
+    assert np.isfinite(iou)
+
+
+@pytest.mark.slow
+def test_zoo_input_brs_modes():
+    """RGB-BRS and DistMap-BRS run on zoo models via the generic registry
+    forward (reference InputBRSPredictor works on any ISModel)."""
+    from pvpuformer_tpu.models.zoo.hrnet import HRNetISConfig
+    mcfg = HRNetISConfig(width=8, small=True, ocr_width=16)
+    for mode in ("RGB-BRS", "DistMap-BRS"):
+        pred = _zoo_session(mcfg, mode)
+        assert np.isfinite(pred.next_click())
+
+
+def test_factory_rejects_unmapped_zoo_fbrs():
+    from pvpuformer_tpu.models.zoo.segformer import SegformerISConfig
+    mcfg = SegformerISConfig(embed_dims=(16, 32, 48, 64), depths=(1, 1, 1, 1),
+                             num_heads=(1, 2, 3, 4), head_channels=32)
+    cfg = PredictorConfig(model=mcfg, target_size=(64, 64))
+    with pytest.raises(ValueError, match="no insertion map"):
+        get_predictor({}, cfg, "f-BRS-A")

@@ -735,6 +735,101 @@ def test_multistep_lr_matches_torch(ref_path):
 # Loss zoo
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# PROTOCOL-level NoC parity: the reference's OWN evaluation loop
+# (vpu_evaluation.evaluate_sample + Clicker + BasePredictor + ZoomIn,
+# running the torch model) vs our fused evaluate path with converted
+# weights, on identical synthetic samples. This is the end-to-end
+# certification behind BASELINE.md's "NoC parity" row: identical click
+# sequences AND identical per-click IoU curves imply identical NoC@k on
+# any dataset.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_click_protocol_matches_reference_eval_loop(ref_path):
+    """End-to-end interactive protocol parity (vpu_evaluation.py:35-98,
+    predictors/base.py:106-177, clicker.py:6-118, zoom_in.py:9-112 vs our
+    predictor.click_scan + evaluation.evaluate_sample). as_prompt_type=0
+    (the shipped protocol); with_flip=True; ZoomIn skip_clicks=-1,
+    target 224 (the 'cvpr' eval mode scaled to the test crop)."""
+    from isegm.model.is_vpu_model import VitMultiGaussianVector_ed_Model
+    from isegm.model.modeling.transformer_helper.cross_entropy_loss import \
+        CrossEntropyLoss
+    from isegm.inference.predictors.base import BasePredictor
+    from isegm.inference.transforms import ZoomIn
+    from isegm.inference.vpu_evaluation import evaluate_sample as ref_eval
+
+    from pvpuformer_tpu.inference.predictor import Predictor, PredictorConfig
+    from pvpuformer_tpu.models.fpn import NeckConfig
+    from pvpuformer_tpu.models.seg_head import HeadConfig
+    from pvpuformer_tpu.models.vit import ViTConfig
+    from pvpuformer_tpu.models.vpu import VPUConfig
+    from pvpuformer_tpu.utils.torch_ingest import convert_vpu_checkpoint
+
+    torch.manual_seed(5)
+    crop = (224, 224)
+    ref_model = VitMultiGaussianVector_ed_Model(
+        num_max_points=4, use_disks=True, norm_radius=5, with_prev_mask=True,
+        backbone_params=dict(img_size=crop, patch_size=(16, 16), in_chans=3,
+                             embed_dim=768, depth=4, num_heads=12),
+        neck_params=dict(in_dim=768, out_dims=[128, 256, 512, 1024],
+                         img_size=list(crop)),
+        head_params=dict(in_channels=[128, 256, 512, 1024],
+                         in_index=[0, 1, 2, 3], dropout_ratio=0.1,
+                         num_classes=1, loss_decode=CrossEntropyLoss(),
+                         align_corners=False, upsample="x1", ed_loss=True,
+                         channels=256),
+        random_split=False, residual=True, with_aux_output=True).eval()
+    with torch.no_grad():
+        ref_model.backbone.pos_embed.normal_(0, 0.02)
+
+    cfg = VPUConfig(
+        backbone=ViTConfig(img_size=crop, patch_size=(16, 16), embed_dim=768,
+                           depth=4, num_heads=12),
+        neck=NeckConfig(in_dim=768, out_dims=(128, 256, 512, 1024),
+                        img_size=crop),
+        head=HeadConfig(in_channels=(128, 256, 512, 1024), channels=256,
+                        upsample="x1"),
+        num_max_points=4)
+    params = convert_vpu_checkpoint(_sd(ref_model), cfg)
+
+    pcfg = PredictorConfig(model=cfg, target_size=crop, with_flip=True,
+                           skip_clicks=-1, min_crop_size=200)
+    ours = Predictor(params, pcfg)
+
+    max_clicks = 4
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        h, w = 96, 128
+        image = (r.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        yy, xx = np.mgrid[:h, :w]
+        cy, cx = r.integers(h // 4, 3 * h // 4), r.integers(w // 4, 3 * w // 4)
+        ry, rx = r.integers(12, h // 3), r.integers(12, w // 3)
+        gt = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0)
+        gt = gt.astype(np.int32)
+
+        zoom_in = ZoomIn(skip_clicks=-1, target_size=crop)
+        ref_pred = BasePredictor(ref_model, "cpu", zoom_in=zoom_in,
+                                 with_flip=True)
+        ref_clicks, ref_ious, _ = ref_eval(image, gt, ref_pred,
+                                           max_iou_thr=2.0,
+                                           max_clicks=max_clicks)
+        ref_seq = [(bool(c.is_positive), int(c.coords[0]), int(c.coords[1]))
+                   for c in ref_clicks]
+
+        ours.set_input(image, gt.astype(np.float32))
+        our_ious = ours.run_clicks(max_clicks)
+        pts = ours.clicks
+        n = pts.shape[0] // 2
+        our_seq = [(bool(i < n), int(pts[i, 0]), int(pts[i, 1]))
+                   for i in np.argsort(pts[:, 2]) if pts[i, 2] >= 0]
+
+        assert our_seq == ref_seq, f"click sequences diverge (seed {seed})"
+        np.testing.assert_allclose(our_ious[:len(ref_ious)],
+                                   np.asarray(ref_ious), atol=1e-6,
+                                   err_msg=f"IoU curve (seed {seed})")
+
+
 def _rand_pred_label(rng, shape=(3, 1, 17, 19), with_ignore=True):
     logits = rng.normal(size=shape).astype(np.float32) * 3
     label = (rng.random(shape) > 0.6).astype(np.float32)

@@ -83,6 +83,23 @@ def test_zoo_interactive_session():
     assert np.isfinite(pred.run_clicks(2)).all()
 
 
+def test_deeplab_resnet34_init_structure_matches_reference():
+    """resnetv1b.py:154-165: a downsample projection exists only when
+    stride != 1 or inplanes != planes*expansion — for resnet34 layer1
+    (64ch in, 64ch out, stride 1) the residual is identity, so the
+    init-produced tree must match convert_deeplab_checkpoint's (no 'down'
+    in layer1 block 0; 'down' in block 0 of layers 2-4 only)."""
+    from pvpuformer_tpu.models.zoo.deeplab import init_deeplab_is
+    for backbone, l1_down in [("resnet34", False), ("resnet50", True)]:
+        cfg = DeeplabISConfig(backbone=backbone, ch=32)
+        params = init_deeplab_is(jax.random.key(0), cfg)
+        assert ("down" in params["layer1"][0]) == l1_down, backbone
+        for lname in ("layer2", "layer3", "layer4"):
+            blocks = params[lname]
+            assert "down" in blocks[0], (backbone, lname)
+            assert all("down" not in b for b in blocks[1:]), (backbone, lname)
+
+
 def test_zoo_config_checkpoint_roundtrip(tmp_path):
     from pvpuformer_tpu.utils.serialization import (save_checkpoint,
                                                     load_checkpoint)
