@@ -99,8 +99,13 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
                      ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Loss + logs for one batch. batch keys: image (B,H,W,3) in [0,1],
     instances (B,H,W,1), points (B,2N,3), scribbles (B,S,2),
-    scribble_rects (B,4)."""
+    scribble_rects (B,4), and optionally captions (B, context_length) int32
+    CLIP token ids (trainer.py:321,393-395 caption co-training: the text
+    embedding rides the DMA query stream every round — the reference's
+    as_click flag routes text only into round 0, but its model drops the
+    captions entirely; see models/vpu.caption_queries)."""
     image = batch["image"]
+    captions = batch.get("captions")
     gt = batch["instances"].astype(jnp.float32)
     points = batch["points"].astype(jnp.float32)
     scribbles = batch["scribbles"].astype(jnp.float32)
@@ -152,7 +157,8 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
         net_input = jnp.concatenate(
             [image, jax.lax.stop_gradient(prev).astype(image.dtype)], axis=-1)
         out = fwd(params, cfg.model, net_input, points,
-                  boxes.astype(jnp.float32), scribbles, rects, prompt_type)
+                  boxes.astype(jnp.float32), scribbles, rects, prompt_type,
+                  captions=captions)
 
         total += _round_losses(cfg, out, gt, ed_mask,
                                cfg.iterloss_weights[k], logs, k)

@@ -111,19 +111,32 @@ def _down32(p, x):
 
 
 def neck_forward(params, cfg: NeckConfig, x: jnp.ndarray, q: jnp.ndarray,
-                 grid_hw: Tuple[int, int]
+                 grid_hw: Tuple[int, int], extra_queries=None
                  ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
     """x: (B, HW, C) backbone tokens; q: (B, L, 2W+3) PPuE prompt vectors.
+
+    `extra_queries` (B, K, C) are appended to the DMA query stream (the
+    caption co-training hook: projected CLIP text embeddings ride the same
+    two-way attention and feature gates as click prompts — the evident
+    intent of the reference's captions plumbing, trainer.py:321,393-395)
+    and stripped from q_out so the P2CL head keeps its 2N click channels.
 
     Returns ([s4, s8, s16, s32] NHWC feature maps, q_out (B, L, C)).
     """
     if q.shape[-1] != x.shape[-1]:
         q = nn.mlp(params["ffn"], q.astype(x.dtype), act=jax.nn.relu)
 
+    n_extra = 0
+    if extra_queries is not None:
+        n_extra = extra_queries.shape[1]
+        q = jnp.concatenate([q, extra_queries.astype(q.dtype)], axis=1)
+
     b, n, c = x.shape
     hs = two_way_forward(params["att"], cfg.two_way, q, x, grid_hw)
     (q_x2, x2_q), (q_x3, x3_q), (q_x4, x4_q) = hs
     q_out = q + q_x2 + q_x3 + q_x4
+    if n_extra:
+        q_out = q_out[:, :-n_extra]
 
     def chan_gate(qi):   # (B, L, C) -> (B, 1, C)
         return jax.nn.sigmoid(jnp.max(qi, axis=1))[:, None, :]

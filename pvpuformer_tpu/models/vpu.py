@@ -44,6 +44,9 @@ class VPUConfig:
     backbone: ViTConfig = ViTConfig()
     neck: NeckConfig = NeckConfig()
     head: HeadConfig = HeadConfig()
+    # caption co-training (reference trainer.py:321,393-395 scaffold; the
+    # CLIP text embedding enters as an extra DMA query — fpn.neck_forward)
+    text: Optional[Any] = None           # zoo.clip_text.ClipTextConfig
     num_max_points: int = 24
     norm_radius: float = 5.0
     use_disks: bool = True
@@ -135,7 +138,24 @@ def init_vpu(key, cfg: VPUConfig) -> Dict[str, Any]:
     }
     if cfg.with_aux_output:
         params["head_aux"] = nn.init_conv1x1(jax.random.fold_in(key, 99), 128, 1)
+    if cfg.text is not None:
+        from .zoo.clip_text import init_clip_text
+        kt = jax.random.fold_in(key, 177)
+        params["clip_text"] = init_clip_text(kt, cfg.text)
+        params["caption_proj"] = nn.init_linear(
+            jax.random.fold_in(kt, 1), cfg.text.embed_dim, cfg.neck.in_dim)
     return params
+
+
+def caption_queries(params, cfg: VPUConfig, captions) -> Optional[jnp.ndarray]:
+    """(B, context_length) int32 caption tokens -> (B, 1, neck_dim) extra
+    DMA queries via the CLIP text encoder + a learned projection. Returns
+    None when the model carries no text tower or captions is None."""
+    if captions is None or cfg.text is None:
+        return None
+    from .zoo.clip_text import encode_text
+    emb = encode_text(params["clip_text"], cfg.text, captions)
+    return nn.linear(params["caption_proj"], emb.astype(cfg.dtype))[:, None]
 
 
 def prepare_input(cfg: VPUConfig, image: jnp.ndarray):
@@ -186,7 +206,7 @@ def vpu_forward(params, cfg: VPUConfig, image: jnp.ndarray, points: jnp.ndarray,
                 prompt_type: int = 0,
                 dropout_key: Optional[jax.Array] = None,
                 shuffle_key: Optional[jax.Array] = None,
-                coord_bias=None) -> Dict[str, jnp.ndarray]:
+                coord_bias=None, captions=None) -> Dict[str, jnp.ndarray]:
     """Full forward. `prompt_type` is a static Python int (0 click / 1 box /
     2 scribble), selecting the PPuE encoder at trace time."""
     dt = cfg.dtype
@@ -207,7 +227,9 @@ def vpu_forward(params, cfg: VPUConfig, image: jnp.ndarray, points: jnp.ndarray,
     pv = pv.astype(dt)
 
     ms_feats, q_out = neck_forward(params["neck"], cfg.neck, tokens, pv,
-                                   cfg.backbone.grid_size)
+                                   cfg.backbone.grid_size,
+                                   extra_queries=caption_queries(
+                                       params, cfg, captions))
     seg, pcl = head_forward(params["head"], cfg.head, ms_feats, q_out,
                             dropout_key=dropout_key)
 
@@ -225,7 +247,8 @@ def vpu_forward_traced_type(params, cfg: VPUConfig, image: jnp.ndarray,
                             scribbles: jnp.ndarray, scribble_rects: jnp.ndarray,
                             prompt_type: jnp.ndarray,
                             dropout_key: Optional[jax.Array] = None,
-                            shuffle_key: Optional[jax.Array] = None
+                            shuffle_key: Optional[jax.Array] = None,
+                            captions: Optional[jnp.ndarray] = None
                             ) -> Dict[str, jnp.ndarray]:
     """Forward with a *traced* prompt type (the training round loop draws
     `as_prompt_type = randint(0, 1)` per round, trainer.py:367 — recompiling
@@ -263,7 +286,9 @@ def vpu_forward_traced_type(params, cfg: VPUConfig, image: jnp.ndarray,
     pv = (pv_click * (1 - fb - fs) + pv_box * fb + pv_scr * fs).astype(dt)
 
     ms_feats, q_out = neck_forward(params["neck"], cfg.neck, tokens, pv,
-                                   cfg.backbone.grid_size)
+                                   cfg.backbone.grid_size,
+                                   extra_queries=caption_queries(
+                                       params, cfg, captions))
     seg, pcl = head_forward(params["head"], cfg.head, ms_feats, q_out,
                             dropout_key=dropout_key)
 

@@ -157,17 +157,22 @@ def group_norm1(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 # convolutions (NHWC)
 # ---------------------------------------------------------------------------
 
-def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int, bias: bool = True) -> Params:
+def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int, bias: bool = True,
+              groups: int = 1) -> Params:
+    """torch Conv2d init; for groups > 1 the weight is (kh, kw, in_ch//groups,
+    out_ch) HWIO with fan_in = kh*kw*in_ch//groups (torch's fan-in)."""
     kkw, kkb = jax.random.split(key)
-    fan_in = kh * kw * in_ch
-    p = {"w": kaiming_uniform(kkw, (kh, kw, in_ch, out_ch), fan_in=fan_in)}
+    fan_in = kh * kw * (in_ch // groups)
+    p = {"w": kaiming_uniform(kkw, (kh, kw, in_ch // groups, out_ch),
+                              fan_in=fan_in)}
     if bias:
         bound = math.sqrt(1.0 / fan_in)
         p["b"] = jax.random.uniform(kkb, (out_ch,), jnp.float32, -bound, bound)
     return p
 
 
-def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | Sequence = "TORCH") -> jnp.ndarray:
+def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
+           padding: str | Sequence = "TORCH", groups: int = 1) -> jnp.ndarray:
     """"TORCH" padding (default) = symmetric k//2 per side, exactly torch's
     Conv2d(padding=k//2). NOT the same as XLA "SAME" when stride > 1: SAME
     pads asymmetrically (e.g. (0,1) for k3 s2 on even input), which shifted
@@ -179,6 +184,7 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | Sequence =
         x, p["w"].astype(x.dtype),
         window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

@@ -42,10 +42,11 @@ def _registry() -> Dict[str, Any]:
         from ..models.zoo.swin import SwinISConfig
         from ..models.zoo.hrformer import HRFormerISConfig
         from ..models.zoo.swin_unet import SwinUNetISConfig
-        from ..models.zoo.clip_text import ClipTextConfig
+        from ..models.zoo.clip_text import (ClipTextConfig, ClipVisualConfig,
+                                            ClipViTConfig)
         classes += [SegformerISConfig, HRNetISConfig, DeeplabISConfig,
                     SwinISConfig, HRFormerISConfig, SwinUNetISConfig,
-                    ClipTextConfig]
+                    ClipTextConfig, ClipVisualConfig, ClipViTConfig]
     except ImportError:
         pass
     return {c.__name__: c for c in classes}

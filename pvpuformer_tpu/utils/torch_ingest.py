@@ -369,6 +369,216 @@ def convert_hrnet_checkpoint(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     }
 
 
+def convert_hrformer_checkpoint(sd: Dict[str, np.ndarray],
+                                cfg) -> Dict[str, Any]:
+    """HRT_B_OCR_V3 state dict (`modeling/hrformer.py:55-110` over
+    `hrformer_helper/hrt/hrt_backbone.py`) -> our zoo/hrformer params.
+
+    Expects HRT_B_OCR_V3-level keys (`backbone.*` + `conv3x3/aux_head/
+    ocr_distri_head/cls_head`); for a full HRFormerModel checkpoint strip
+    the `feature_extractor.` prefix first. `cfg` is a HRFormerISConfig
+    matching the checkpoint's width/heads/modules.
+    """
+    bb = "backbone."
+
+    def block(prefix):
+        """GeneralTransformerBlock (transformer_block.py:52-96)."""
+        a = f"{prefix}.attn.attn"
+        m = f"{prefix}.mlp"
+        return {
+            "norm1": _gn(sd, f"{prefix}.norm1"),
+            "attn": {"q": _lin(sd, f"{a}.q_proj"),
+                     "k": _lin(sd, f"{a}.k_proj"),
+                     "v": _lin(sd, f"{a}.v_proj"),
+                     "out": _lin(sd, f"{a}.out_proj"),
+                     "rpe": sd[f"{a}.relative_position_bias_table"]},
+            "norm2": _gn(sd, f"{prefix}.norm2"),
+            "mlp": {"fc1": _conv_bn(sd, f"{m}.fc1", f"{m}.norm1"),
+                    "dw": _conv_bn(sd, f"{m}.dw3x3", f"{m}.norm2"),
+                    "fc2": _conv_bn(sd, f"{m}.fc2", f"{m}.norm3")},
+        }
+
+    def block_bottleneck(prefix):
+        p = {"c1": _conv_bn(sd, f"{prefix}.conv1", f"{prefix}.bn1"),
+             "c2": _conv_bn(sd, f"{prefix}.conv2", f"{prefix}.bn2"),
+             "c3": _conv_bn(sd, f"{prefix}.conv3", f"{prefix}.bn3")}
+        if f"{prefix}.downsample.0.weight" in sd:
+            p["down"] = _conv_bn(sd, f"{prefix}.downsample.0",
+                                 f"{prefix}.downsample.1")
+        return p
+
+    def transition(tname, n_new):
+        out = []
+        for i in range(n_new):
+            base = f"{bb}{tname}.{i}"
+            if f"{base}.0.0.weight" in sd:          # new branch (nested Seq)
+                out.append({"new": _conv_bn(sd, f"{base}.0.0",
+                                            f"{base}.0.1")})
+            elif f"{base}.0.weight" in sd:          # channel adapter
+                out.append(_conv_bn(sd, f"{base}.0", f"{base}.1"))
+            else:
+                out.append({})
+        return out
+
+    def module(prefix, nb, blocks):
+        """hrt_backbone.py:24-303: transformer branches + DW-separable
+        fuse (down: [.k.0 dw, .k.1 bn, .k.2 pw, .k.3 bn]; up: [.0 1x1,
+        .1 bn, .2 nearest-Upsample])."""
+        p: Dict[str, Any] = {"branches": [], "fuse": []}
+        for b in range(nb):
+            p["branches"].append([
+                block(f"{prefix}.branches.{b}.{j}") for j in range(blocks)])
+        for i in range(nb):
+            row = []
+            for j in range(nb):
+                f = f"{prefix}.fuse_layers.{i}.{j}"
+                if j > i:
+                    row.append({"up": _conv_bn(sd, f"{f}.0", f"{f}.1")})
+                elif j < i:
+                    chain = []
+                    for k in range(i - j):
+                        chain.append(
+                            {"dw": _conv_bn(sd, f"{f}.{k}.0", f"{f}.{k}.1"),
+                             "pw": _conv_bn(sd, f"{f}.{k}.2", f"{f}.{k}.3")})
+                    row.append({"downs": chain})
+                else:
+                    row.append({})
+            p["fuse"].append(row)
+        return p
+
+    nm = cfg.num_units
+    blocks = cfg.blocks_per_unit
+    oc = "ocr_distri_head.object_context_block"
+    ocr = None if "conv3x3.0.weight" not in sd else {
+        "conv3x3": {"conv": _conv(sd, "conv3x3.0"),
+                    "bn": _bn(sd, "conv3x3.1.0")},
+        "aux1": {"conv": _conv(sd, "aux_head.0"),
+                 "bn": _bn(sd, "aux_head.1.0")},
+        "aux_cls": _conv(sd, "aux_head.2"),
+        "f_pixel": [_conv_bn(sd, f"{oc}.f_pixel.0", f"{oc}.f_pixel.1.0"),
+                    _conv_bn(sd, f"{oc}.f_pixel.2", f"{oc}.f_pixel.3.0")],
+        "f_object": [_conv_bn(sd, f"{oc}.f_object.0", f"{oc}.f_object.1.0"),
+                     _conv_bn(sd, f"{oc}.f_object.2", f"{oc}.f_object.3.0")],
+        "f_down": _conv_bn(sd, f"{oc}.f_down.0", f"{oc}.f_down.1.0"),
+        "f_up": _conv_bn(sd, f"{oc}.f_up.0", f"{oc}.f_up.1.0"),
+        "bottleneck": _conv_bn(sd, "ocr_distri_head.conv_bn_dropout.0",
+                               "ocr_distri_head.conv_bn_dropout.1.0"),
+        "cls": _conv(sd, "cls_head"),
+    }
+    params = {
+        "stem1": _conv_bn(sd, f"{bb}conv1", f"{bb}bn1"),
+        "stem2": _conv_bn(sd, f"{bb}conv2", f"{bb}bn2"),
+        "layer1": [block_bottleneck(f"{bb}layer1.{j}") for j in range(2)],
+        "tr1": transition("transition1", 2),
+        "stage2": [module(f"{bb}stage2.{m}", 2, blocks)
+                   for m in range(nm[0])],
+        "tr2": transition("transition2", 3),
+        "stage3": [module(f"{bb}stage3.{m}", 3, blocks)
+                   for m in range(nm[1])],
+        "tr3": transition("transition3", 4),
+        "stage4": [module(f"{bb}stage4.{m}", 4, blocks)
+                   for m in range(nm[2])],
+    }
+    if ocr is not None:
+        params["ocr"] = ocr
+    return params
+
+
+def convert_clip_resnet(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """CLIP ModifiedResNet state dict (`modeling/clip.py:147-223`) -> our
+    zoo.clip_text params (visual-tower keys, optionally prefixed
+    `visual.`). `cfg` is a ClipVisualConfig."""
+    pre = "visual." if "visual.conv1.weight" in sd else ""
+
+    def block(prefix):
+        p = {"c1": _conv_bn(sd, f"{prefix}.conv1", f"{prefix}.bn1"),
+             "c2": _conv_bn(sd, f"{prefix}.conv2", f"{prefix}.bn2"),
+             "c3": _conv_bn(sd, f"{prefix}.conv3", f"{prefix}.bn3")}
+        if f"{prefix}.downsample.0.weight" in sd:
+            p["down"] = _conv_bn(sd, f"{prefix}.downsample.0",
+                                 f"{prefix}.downsample.1")
+        return p
+
+    def layer(name, blocks):
+        return [block(f"{pre}{name}.{j}") for j in range(blocks)]
+
+    ap = f"{pre}attnpool"
+    return {
+        "stem1": _conv_bn(sd, f"{pre}conv1", f"{pre}bn1"),
+        "stem2": _conv_bn(sd, f"{pre}conv2", f"{pre}bn2"),
+        "stem3": _conv_bn(sd, f"{pre}conv3", f"{pre}bn3"),
+        "layer1": layer("layer1", cfg.layers[0]),
+        "layer2": layer("layer2", cfg.layers[1]),
+        "layer3": layer("layer3", cfg.layers[2]),
+        "layer4": layer("layer4", cfg.layers[3]),
+        "attnpool": {
+            "pos": sd[f"{ap}.positional_embedding"],
+            "q": _lin(sd, f"{ap}.q_proj"),
+            "k": _lin(sd, f"{ap}.k_proj"),
+            "v": _lin(sd, f"{ap}.v_proj"),
+            "c": _lin(sd, f"{ap}.c_proj"),
+            "connect": _conv_bn(sd, f"{ap}.connect.0", f"{ap}.connect.1"),
+        },
+    }
+
+
+def convert_clip_vit(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """CLIP VisionTransformer state dict (`modeling/clip.py:286-332`) ->
+    our zoo.clip_text params (torch nn.MultiheadAttention fused in_proj
+    maps directly onto our fused qkv)."""
+    pre = "visual." if "visual.conv1.weight" in sd else ""
+    blocks = []
+    i = 0
+    while f"{pre}transformer.resblocks.{i}.ln_1.weight" in sd:
+        b = f"{pre}transformer.resblocks.{i}"
+        blocks.append({
+            "ln1": _gn(sd, f"{b}.ln_1"),
+            "qkv": {"w": sd[f"{b}.attn.in_proj_weight"].T,
+                    "b": sd[f"{b}.attn.in_proj_bias"]},
+            "proj": _lin(sd, f"{b}.attn.out_proj"),
+            "ln2": _gn(sd, f"{b}.ln_2"),
+            "mlp": {"fc1": _lin(sd, f"{b}.mlp.c_fc"),
+                    "fc2": _lin(sd, f"{b}.mlp.c_proj")},
+        })
+        i += 1
+    return {
+        "conv1": _conv(sd, f"{pre}conv1"),
+        "class_embedding": sd[f"{pre}class_embedding"],
+        "pos_embedding": sd[f"{pre}positional_embedding"],
+        "ln_pre": _gn(sd, f"{pre}ln_pre"),
+        "blocks": blocks,
+        "ln_post": _gn(sd, f"{pre}ln_post"),
+        "proj": sd[f"{pre}proj"],
+    }
+
+
+def convert_clip_text(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """CLIP text-encoder state dict (`modeling/clip.py:353-456`) -> our
+    zoo.clip_text params."""
+    blocks = []
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        b = f"transformer.resblocks.{i}"
+        blocks.append({
+            "ln1": _gn(sd, f"{b}.ln_1"),
+            "qkv": {"w": sd[f"{b}.attn.in_proj_weight"].T,
+                    "b": sd[f"{b}.attn.in_proj_bias"]},
+            "proj": _lin(sd, f"{b}.attn.out_proj"),
+            "ln2": _gn(sd, f"{b}.ln_2"),
+            "mlp": {"fc1": _lin(sd, f"{b}.mlp.c_fc"),
+                    "fc2": _lin(sd, f"{b}.mlp.c_proj")},
+        })
+        i += 1
+    return {
+        "token_embedding": sd["token_embedding.weight"],
+        "pos_embedding": sd["positional_embedding"],
+        "blocks": blocks,
+        "ln_final": _gn(sd, "ln_final"),
+        "text_projection": sd["text_projection"],
+        "logit_scale": sd.get("logit_scale", np.float32(np.log(1 / 0.07))),
+    }
+
+
 def convert_deeplab_checkpoint(sd: Dict[str, np.ndarray],
                                cfg) -> Dict[str, Any]:
     """RITM DeeplabModel state dict -> our zoo/deeplab params.

@@ -30,8 +30,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("mode", nargs="?", default="NoBRS",
-                   help="NoBRS (BRS variants: see inference/brs.py)")
+                   help="NoBRS / f-BRS-A|B|C / RGB-BRS / DistMap-BRS "
+                        "(inference/brs.py) / SAM (segment-anything "
+                        "side-by-side, evaluate_sammodel.py equivalent)")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--sam-checkpoint", default=None,
+                   help="SAM mode: segment_anything checkpoint .pth "
+                        "(variant inferred from the filename, "
+                        "evaluate_sammodel.py:134-139)")
+    p.add_argument("--sam-model-type", default=None,
+                   choices=[None, "vit_b", "vit_l", "vit_h"])
+    p.add_argument("--sam-multimask", action="store_true",
+                   help="multimask_output=True, score-argmax mask selection")
+    p.add_argument("--sam-feedback-mask", action="store_true",
+                   help="feed previous low-res logits back via mask_input "
+                        "(predictors/sam_base.py variant; the reference "
+                        "sam_evaluation loop does not)")
     p.add_argument("--random-weights", action="store_true",
                    help="random ViT-B/448 weights (pipeline smoke run)")
     p.add_argument("--datasets", default="GrabCut,Berkeley,SBD,DAVIS,"
@@ -137,7 +151,11 @@ def main() -> None:
         args.dtype = "float32"
         jax.config.update("jax_default_matmul_precision", "highest")
 
-    params, mcfg = build_model(args)
+    sam_mode = args.mode.upper() == "SAM"
+    if sam_mode:
+        params = mcfg = None
+    else:
+        params, mcfg = build_model(args)
     target_iou = 1.01 if args.iou_analysis else args.target_iou
 
     logs_dir = Path(args.logs_path)
@@ -161,28 +179,38 @@ def main() -> None:
             si, sn = (int(v) for v in args.shard.split("/"))
             dataset = _sharded(dataset, si, sn)
 
-        # VPU-style configs carry the trained crop; conv/Swin zoo configs
-        # are size-agnostic — default their zoom-in target to 448².
-        # "fixedH[,W]" overrides the per-dataset zoom targets
-        # (evaluate_vpumodel.py:188-202); "cvpr" keeps them.
-        default_crop = tuple(mcfg.backbone.img_size) \
-            if hasattr(mcfg, "backbone") else (448, 448)
-        if args.eval_mode.startswith("fixed"):
-            sizes = args.eval_mode.split(",")
-            ch = int(sizes[0][5:])
-            cw = int(sizes[1]) if len(sizes) == 2 else ch
-            crop = (ch, cw)
+        if sam_mode:
+            from pvpuformer_tpu.inference.sam_compat import SamCompatPredictor
+            predictor = SamCompatPredictor(
+                checkpoint=args.sam_checkpoint,
+                model_type=args.sam_model_type,
+                multimask=args.sam_multimask,
+                feedback_mask=args.sam_feedback_mask)
         else:
-            crop = DATASET_ZOOM.get(name, default_crop)
-        ds_params, ds_mcfg = maybe_interp_pos_embed(params, mcfg, crop)
-        pcfg = PredictorConfig(model=ds_mcfg, target_size=crop,
-                               with_flip=True, prob_thresh=args.thresh,
-                               skip_clicks=-1, prompt_mode=args.prompt_mode)
-        if args.mode.lower() == "nobrs":
-            predictor = Predictor(ds_params, pcfg)
-        else:
-            from pvpuformer_tpu.inference.brs import get_predictor
-            predictor = get_predictor(ds_params, pcfg, brs_mode=args.mode)
+            # VPU-style configs carry the trained crop; conv/Swin zoo configs
+            # are size-agnostic — default their zoom-in target to 448².
+            # "fixedH[,W]" overrides the per-dataset zoom targets
+            # (evaluate_vpumodel.py:188-202); "cvpr" keeps them.
+            default_crop = tuple(mcfg.backbone.img_size) \
+                if hasattr(mcfg, "backbone") else (448, 448)
+            if args.eval_mode.startswith("fixed"):
+                sizes = args.eval_mode.split(",")
+                ch = int(sizes[0][5:])
+                cw = int(sizes[1]) if len(sizes) == 2 else ch
+                crop = (ch, cw)
+            else:
+                crop = DATASET_ZOOM.get(name, default_crop)
+            ds_params, ds_mcfg = maybe_interp_pos_embed(params, mcfg, crop)
+            pcfg = PredictorConfig(model=ds_mcfg, target_size=crop,
+                                   with_flip=True, prob_thresh=args.thresh,
+                                   skip_clicks=-1,
+                                   prompt_mode=args.prompt_mode)
+            if args.mode.lower() == "nobrs":
+                predictor = Predictor(ds_params, pcfg)
+            else:
+                from pvpuformer_tpu.inference.brs import get_predictor
+                predictor = get_predictor(ds_params, pcfg,
+                                          brs_mode=args.mode)
 
         vis_callback = _make_vis_callback(logs_dir / "vis" / name) \
             if args.vis_preds else None

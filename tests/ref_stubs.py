@@ -41,6 +41,29 @@ def install() -> None:
         if alias not in np.__dict__:
             np.__dict__[alias] = builtin
 
+    # --- yacs (hrformer_helper/hrt/hrt_config.py:11) — CfgNode is used as
+    # an attribute-style nested dict with .clone(); real semantics.
+    if "yacs" not in sys.modules:
+        yacs = _module("yacs")
+        yacs_cfg = _module("yacs.config")
+        yacs.config = yacs_cfg
+
+        class CfgNode(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+            def clone(self):
+                import copy
+                return copy.deepcopy(self)
+
+        yacs_cfg.CfgNode = CfgNode
+
     # --- bezier (engine/trainer.py:7) — real Bernstein evaluation so
     # cal_scribble runs; nodes are (dim, n_points) as in the real package.
     if "bezier" not in sys.modules:

@@ -20,6 +20,66 @@ def run(args, timeout=1200):   # generous: the subprocess recompiles from a
                           capture_output=True, text=True, timeout=timeout)
 
 
+SAM_STUB = '''
+import numpy as np
+
+
+class _FakeSam:
+    def __init__(self, checkpoint=None):
+        self.checkpoint = checkpoint
+
+
+sam_model_registry = {t: _FakeSam for t in ("vit_b", "vit_l", "vit_h")}
+
+
+class SamPredictor:
+    """Geometry-only stand-in: union of disks around positive clicks."""
+
+    def __init__(self, sam):
+        self.sam = sam
+
+    def set_image(self, image):
+        self.shape = image.shape[:2]
+
+    def predict(self, point_coords=None, point_labels=None, mask_input=None,
+                multimask_output=False, return_logits=False):
+        h, w = self.shape
+        yy, xx = np.mgrid[:h, :w]
+        mask = np.zeros((h, w), bool)
+        for (x, y), lab in zip(point_coords, point_labels):
+            if lab == 1:
+                mask |= (yy - y) ** 2 + (xx - x) ** 2 <= 20 ** 2
+        n = 3 if multimask_output else 1
+        masks = np.repeat(mask[None], n, axis=0)
+        scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+        logits = np.zeros((n, 256, 256), np.float32)
+        return masks, scores, logits
+'''
+
+
+def test_sam_comparison_cli(tmp_path):
+    """`evaluate.py SAM --sam-checkpoint ...` reproduces the
+    evaluate_sammodel.py workflow end-to-end (clicker loop + NoC table)
+    against a stubbed segment_anything package."""
+    pkg = tmp_path / "stub" / "segment_anything"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text(SAM_STUB)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = str(tmp_path / "stub") + os.pathsep + \
+        env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "scripts/evaluate.py", "SAM",
+         "--sam-checkpoint", "weights/sam_vit_b_01ec64.pth",
+         "--datasets", "Synthetic", "--n-clicks", "3", "--limit", "2",
+         "--print-ious", "--logs-path", str(tmp_path / "logs")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "NoC@80%" in r.stdout and "SAM" in r.stdout
+    assert "mIoU@k" in r.stdout
+
+
 @pytest.mark.slow
 def test_train_then_evaluate_cli(tmp_path):
     # 1. train the tiny synthetic recipe for one epoch

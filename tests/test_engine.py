@@ -216,6 +216,49 @@ def tiny_batch(seed, b=4, hw=64, n=6, s=50):
 
 
 @pytest.mark.slow
+def test_caption_cotraining_step():
+    """Caption co-training hook (trainer.py:321,393-395 scaffold): a model
+    with a CLIP text tower takes batch['captions'] token ids, the text
+    embedding enters as an extra DMA query (fpn.neck_forward), and
+    gradients flow into the text tower and projection."""
+    from pvpuformer_tpu.models.vpu import init_vpu
+    from pvpuformer_tpu.models.zoo.clip_text import (ClipTextConfig,
+                                                     byte_tokenizer)
+    from pvpuformer_tpu.engine.train_step import train_step, TrainConfig
+    from pvpuformer_tpu.engine import optimizer as OPT
+
+    mcfg = tiny_cfg().replace(text=ClipTextConfig(
+        vocab_size=49408, context_length=32, width=32, heads=2, layers=2,
+        embed_dim=16))
+    cfg = TrainConfig(model=mcfg, remat=False)
+    params = init_vpu(jax.random.key(0), mcfg)
+    assert "clip_text" in params and "caption_proj" in params
+    tx = OPT.make_optimizer(params, "adam", lr=1e-3)
+    opt_state = tx.init(params)
+    thr = jnp.asarray([0.4, 0.375, 0.425])
+
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(0, b=2).items()}
+    toks = byte_tokenizer(["the left box", "a small square"], 32)
+    batch["captions"] = jnp.asarray(toks)
+
+    before = np.asarray(
+        jax.tree_util.tree_leaves(params["caption_proj"])[0]).copy()
+    params, opt_state, logs, ious, valid = train_step(
+        params, opt_state, batch, jax.random.key(1), thr,
+        cfg=cfg, tx=tx, num_iters=2)
+    assert np.isfinite(float(logs["loss"]))
+    after = np.asarray(jax.tree_util.tree_leaves(params["caption_proj"])[0])
+    assert not np.allclose(before, after), "caption path got no gradient"
+
+    # same model without captions still runs (hook is optional)
+    batch.pop("captions")
+    params, opt_state, logs, _, _ = train_step(
+        params, opt_state, batch, jax.random.key(2), thr,
+        cfg=cfg, tx=tx, num_iters=1)
+    assert np.isfinite(float(logs["loss"]))
+
+
+@pytest.mark.slow
 def test_train_step_learns_on_mesh():
     from pvpuformer_tpu.models.vpu import init_vpu
 

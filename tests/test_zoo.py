@@ -124,6 +124,33 @@ def test_swin_unet_forward():
     assert np.isfinite(np.asarray(out["instances"])).all()
 
 
+def test_clip_bpe_tokenizer(tmp_path):
+    """BPETokenizer applies merges by rank and falls back per-character;
+    get_tokenizer returns the byte fallback when no vocab file exists."""
+    from pvpuformer_tpu.models.zoo.clip_text import (BPETokenizer,
+                                                     get_tokenizer,
+                                                     byte_tokenizer, BOS, EOS)
+    merges = tmp_path / "merges.txt"
+    merges.write_text("#version\na b</w>\nh e\nl l\n")
+    tok = BPETokenizer(str(merges))
+    # "ab" -> single merged token; "cd" -> c + d</w>
+    ab = tok.encode("ab")
+    assert len(ab) == 1 and ab[0] == tok.encoder["ab</w>"]
+    cd = tok.encode("cd")
+    assert cd == [tok.encoder["c"], tok.encoder["d</w>"]]
+    # "hello" -> he + ll + o</w>
+    hello = tok.encode("hello")
+    assert hello == [tok.encoder["he"], tok.encoder["ll"],
+                     tok.encoder["o</w>"]]
+    arr = tok(["ab cd"], 8)
+    assert arr.shape == (1, 8) and arr[0, 0] == BOS
+    assert EOS in arr[0]
+    # fallback path
+    assert get_tokenizer(None) is byte_tokenizer
+    assert get_tokenizer(str(tmp_path / "missing.txt")) is byte_tokenizer
+    assert isinstance(get_tokenizer(str(merges)), BPETokenizer)
+
+
 def test_clip_text_encoder():
     from pvpuformer_tpu.models.zoo.clip_text import (ClipTextConfig,
                                                      init_clip_text,
