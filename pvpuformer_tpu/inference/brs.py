@@ -361,31 +361,55 @@ class FeatureBRSPredictor:
         self.opt_data = None
         self._undo = []
 
-    # -- one oracle round ------------------------------------------------------
+    # -- one round (oracle or user click) -------------------------------------
 
-    def next_click(self) -> float:
-        self._undo.append((self.state, None if self.opt_data is None
-                           else self.opt_data.copy()))
-        cfg = self.cfg
-        st = self.state
-        # 1. oracle click (device)
-        pred = st.prev_probs[0, :, :, 0] > cfg.prob_thresh
-        gt_pos = st.gt == 1
-        not_ignore = st.gt != -1
-        fn = gt_pos & (~pred) & not_ignore
-        fp = (~gt_pos) & pred & not_ignore
-        is_pos, cy, cx, _ = next_click_from_error(fn, fp, st.not_clicked)
+    def _apply_click(self, st: SessionState, is_pos, cy, cx) -> SessionState:
+        """Write one click into the session points (shared by the oracle
+        and user-click paths)."""
         n = st.points.shape[1] // 2
         slot = jnp.where(is_pos, jnp.minimum(st.num_pos, n - 1),
                          n + jnp.minimum(st.num_neg, n - 1))
         row = jnp.stack([cy.astype(jnp.float32), cx.astype(jnp.float32),
                          st.click_count.astype(jnp.float32)])
         points = st.points.at[0, slot].set(row)
-        st = st._replace(points=points,
-                         num_pos=st.num_pos + is_pos.astype(jnp.int32),
-                         num_neg=st.num_neg + (~is_pos).astype(jnp.int32),
-                         not_clicked=st.not_clicked.at[cy, cx].set(False),
-                         click_count=st.click_count + 1)
+        return st._replace(
+            points=points,
+            num_pos=st.num_pos + is_pos.astype(jnp.int32),
+            num_neg=st.num_neg + (~is_pos).astype(jnp.int32),
+            not_clicked=st.not_clicked.at[cy, cx].set(False),
+            click_count=st.click_count + 1)
+
+    def next_click(self) -> float:
+        """One oracle round (eval loop): EDT click from the gt error masks,
+        then the BRS-optimized forward."""
+        self._undo.append((self.state, None if self.opt_data is None
+                           else self.opt_data.copy()))
+        cfg = self.cfg
+        st = self.state
+        pred = st.prev_probs[0, :, :, 0] > cfg.prob_thresh
+        gt_pos = st.gt == 1
+        not_ignore = st.gt != -1
+        fn = gt_pos & (~pred) & not_ignore
+        fp = (~gt_pos) & pred & not_ignore
+        is_pos, cy, cx, _ = next_click_from_error(fn, fp, st.not_clicked)
+        st = self._apply_click(st, is_pos, cy, cx)
+        return self._optimize_round(st)
+
+    def user_click(self, y: float, x: float, is_positive: bool) -> float:
+        """One USER-click round (the GUI path — click consistency only, no
+        gt involved in click selection; controller.py:48-68). Returns IoU
+        vs the session gt (0 when the demo session has no gt)."""
+        self._undo.append((self.state, None if self.opt_data is None
+                           else self.opt_data.copy()))
+        st = self._apply_click(
+            self.state, jnp.asarray(bool(is_positive)),
+            jnp.asarray(int(round(y)), jnp.int32),
+            jnp.asarray(int(round(x)), jnp.int32))
+        return self._optimize_round(st)
+
+    def _optimize_round(self, st: SessionState) -> float:
+        cfg = self.cfg
+        points = st.points
 
         # 2. ROI + crop (device, same machinery as predictor.py)
         roi, has_roi = _update_roi(cfg, st, points)
@@ -556,30 +580,11 @@ class InputBRSPredictor(FeatureBRSPredictor):
         super().__init__(params, cfg, **kw)
         self.optimize_target = optimize_target
 
-    def next_click(self) -> float:
-        # reuse the parent's click/ROI code by temporarily disabling opt,
-        # then run the RGB optimization on the same crop
+    def _optimize_round(self, st) -> float:
+        """L-BFGS over the input perturbation (delta reset per click —
+        brs.py:257), then the final perturbed forward."""
         cfg = self.cfg
-        self._undo.append((self.state, None))
-        st = self.state
-        pred = st.prev_probs[0, :, :, 0] > cfg.prob_thresh
-        gt_pos = st.gt == 1
-        not_ignore = st.gt != -1
-        fn = gt_pos & (~pred) & not_ignore
-        fp = (~gt_pos) & pred & not_ignore
-        is_pos, cy, cx, _ = next_click_from_error(fn, fp, st.not_clicked)
-        n = st.points.shape[1] // 2
-        slot = jnp.where(is_pos, jnp.minimum(st.num_pos, n - 1),
-                         n + jnp.minimum(st.num_neg, n - 1))
-        row = jnp.stack([cy.astype(jnp.float32), cx.astype(jnp.float32),
-                         st.click_count.astype(jnp.float32)])
-        points = st.points.at[0, slot].set(row)
-        st = st._replace(points=points,
-                         num_pos=st.num_pos + is_pos.astype(jnp.int32),
-                         num_neg=st.num_neg + (~is_pos).astype(jnp.int32),
-                         not_clicked=st.not_clicked.at[cy, cx].set(False),
-                         click_count=st.click_count + 1)
-
+        points = st.points
         roi, has_roi = _update_roi(cfg, st, points)
         roi_t = (roi[0], roi[1], roi[2], roi[3])
         th, tw = cfg.target_size

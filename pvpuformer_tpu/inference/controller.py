@@ -19,8 +19,7 @@ from typing import List, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from .predictor import (PredictorConfig, SessionState, init_session,
-                        user_click_step)
+from .predictor import PredictorConfig, SessionState
 
 
 class Click:
@@ -30,19 +29,31 @@ class Click:
 
 
 class InteractiveController:
+    """Session state machine over ANY predictor exposing the uniform
+    surface (set_input / user_click / undo_click / probs / state) — the
+    fused NoBRS Predictor by default, or any BRS predictor from
+    `brs.get_predictor` (the reference app's BRS-mode selector,
+    app.py:95-130)."""
+
     def __init__(self, params, cfg: PredictorConfig,
-                 prob_thresh: float = 0.5):
+                 prob_thresh: float = 0.5, predictor=None,
+                 brs_mode: str = "NoBRS"):
         self.params = params
         self.cfg = cfg
         self.prob_thresh = prob_thresh
+        self.brs_mode = brs_mode
+        self.predictor = predictor or self._build_predictor(brs_mode)
         self.image: Optional[np.ndarray] = None
-        self.state: Optional[SessionState] = None
         self._init_mask: Optional[np.ndarray] = None
         self._result_mask: Optional[np.ndarray] = None
         self._undo: List = []
         self.clicks_list: List[Click] = []
         self.object_count = 0
         self.probs_history: List[np.ndarray] = []
+
+    def _build_predictor(self, brs_mode: str):
+        from .brs import get_predictor
+        return get_predictor(self.params, self.cfg, brs_mode=brs_mode)
 
     # ---------------------------------------------------------------- session
 
@@ -52,22 +63,27 @@ class InteractiveController:
         self.object_count = 0
         self.reset_last_object()
 
-    def _canvas(self, h: int, w: int):
-        b = self.cfg.canvas_bucket
-        return (-(-h // b) * b, -(-w // b) * b)
+    def set_brs_mode(self, brs_mode: str) -> None:
+        """Swap the predictor (reference app's BRS selector). Resets the
+        in-progress object's clicks; finished objects stay."""
+        if brs_mode == self.brs_mode:
+            return
+        self.brs_mode = brs_mode
+        self.predictor = self._build_predictor(brs_mode)
+        if self.image is not None:
+            self.reset_last_object()
 
     def reset_last_object(self) -> None:
         assert self.image is not None
         h, w = self.image.shape[:2]
         gt = np.zeros((h, w), np.float32)        # demo has no gt
-        self.state = init_session(self.image, gt,
-                                  self.cfg.model.num_max_points,
-                                  self._canvas(h, w))
+        self.predictor.set_input(self.image, gt)
         if self._init_mask is not None:
-            hc, wc = self.state.gt.shape
+            st = self.predictor.state
+            hc, wc = st.gt.shape
             probs = np.zeros((1, hc, wc, 1), np.float32)
             probs[0, :h, :w, 0] = self._init_mask
-            self.state = self.state._replace(prev_probs=jnp.asarray(probs))
+            self.predictor.state = st._replace(prev_probs=jnp.asarray(probs))
         self._undo = []
         self.clicks_list = []
         self.probs_history = []
@@ -82,25 +98,27 @@ class InteractiveController:
     # ----------------------------------------------------------------- clicks
 
     def add_click(self, x: float, y: float, is_positive: bool) -> None:
-        self._undo.append((self.state, list(self.clicks_list),
+        self._undo.append((list(self.clicks_list),
                            list(self.probs_history)))
-        self.state, _ = user_click_step(
-            self.params, self.cfg, self.state,
-            jnp.asarray(y), jnp.asarray(x), jnp.asarray(is_positive))
+        self.predictor.user_click(y, x, is_positive)
         self.clicks_list.append(Click(is_positive, (y, x)))
         self.probs_history.append(self.current_object_prob.copy())
 
     def undo_click(self) -> None:
         if self._undo:
-            self.state, self.clicks_list, self.probs_history = \
-                self._undo.pop()
+            self.predictor.undo_click()
+            self.clicks_list, self.probs_history = self._undo.pop()
 
     # ---------------------------------------------------------------- results
 
     @property
+    def state(self) -> SessionState:
+        return self.predictor.state
+
+    @property
     def current_object_prob(self) -> np.ndarray:
         h, w = self.image.shape[:2]
-        return np.asarray(self.state.prev_probs[0, :h, :w, 0])
+        return np.asarray(self.predictor.state.prev_probs[0, :h, :w, 0])
 
     @property
     def is_incomplete_mask(self) -> bool:

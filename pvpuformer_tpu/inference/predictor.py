@@ -422,6 +422,15 @@ class Predictor:
         self.state, iou = click_step(self.params, self.cfg, self.state)
         return float(iou)
 
+    def user_click(self, y: float, x: float, is_positive: bool) -> float:
+        """One round with a USER-provided click (the GUI/demo path);
+        returns IoU vs the session gt (0 for a gt-less demo session)."""
+        self._undo.append(self.state)
+        self.state, iou = user_click_step(
+            self.params, self.cfg, self.state, jnp.asarray(float(y)),
+            jnp.asarray(float(x)), jnp.asarray(bool(is_positive)))
+        return float(iou)
+
     def run_clicks(self, num_clicks: int) -> np.ndarray:
         """Run `num_clicks` rounds in one dispatch; returns the IoU curve."""
         self._undo.append(self.state)

@@ -58,3 +58,65 @@ def test_visualization_panel():
     c.add_click(30, 20, True)
     panel = c.get_visualization()
     assert panel.shape == (64, 64, 3) and panel.dtype == np.uint8
+
+
+def test_controller_brs_mode_switch():
+    """The GUI's BRS-mode selector (app.py:95-130): switching predictors
+    mid-session keeps the image and finished objects, resets the
+    in-progress clicks; user clicks run through the BRS predictor."""
+    from pvpuformer_tpu.inference.brs import FeatureBRSPredictor
+    c = make_controller()
+    c.add_click(30, 20, True)
+    c.finish_object()
+    c.add_click(10, 12, True)
+    c.set_brs_mode("f-BRS-C")
+    assert isinstance(c.predictor, FeatureBRSPredictor)
+    assert c.object_count == 1 and len(c.clicks_list) == 0
+    c.predictor.max_iters = 2            # keep the test fast
+    c.add_click(40, 44, True)
+    assert len(c.clicks_list) == 1
+    assert np.isfinite(c.current_object_prob).all()
+    c.undo_click()
+    assert len(c.clicks_list) == 0
+    # switching back to NoBRS works too
+    c.set_brs_mode("NoBRS")
+    c.add_click(40, 44, False)
+    assert np.isfinite(c.current_object_prob).all()
+
+
+def test_view_transform():
+    """Zoomable-canvas math (demo.ViewTransform, canvas.py:49-324
+    equivalent): fit-to-view, cursor-centric zoom, pan clamping, widget ->
+    image inversion, render shapes."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from demo import ViewTransform
+
+    t = ViewTransform((100, 200), (400, 300))   # image 200x100, view 400x300
+    assert abs(t.scale - 2.0) < 1e-9            # fit: min(400/200, 300/100)
+    # widget center maps inside the image
+    pt = t.to_image(100, 100)
+    assert pt == (50.0, 50.0)
+    # zoom about a cursor point keeps that image point under the cursor
+    before = t.to_image(120, 80)
+    t.zoom(2.0, 120, 80)
+    after = t.to_image(120, 80)
+    assert np.allclose(before, after, atol=1e-6)
+    assert t.zoom_level == 2.0
+    # pan moves the view; clamped to image bounds
+    t.pan(-10000, -10000)
+    vis_w = t.vw / t.scale
+    assert t.ox == max(0.0, t.iw - vis_w)
+    # zoom-out is clamped at fit
+    t.zoom(0.01, 0, 0)
+    assert t.zoom_level == t.min_zoom
+    assert t.to_image(-5, 10) is None           # left of the image
+    # outside the view -> None once fully zoomed out at the corner
+    t2 = ViewTransform((100, 100), (200, 300))
+    assert t2.to_image(199, 299) is None        # below the letterboxed image
+    # render returns a uint8 panel of the visible size
+    panel = np.zeros((100, 200, 3), np.uint8)
+    out = t.render(panel)
+    assert out.ndim == 3 and out.shape[2] == 3
+    assert out.shape[0] <= t.vh + 2 and out.shape[1] <= t.vw + 2
