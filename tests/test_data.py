@@ -99,6 +99,86 @@ def test_point_sampler_merge_objects():
 
 # ------------------------------------------------------------------ scribbles
 
+def test_point_sampler_matches_ritm_distributions():
+    """Statistical validation against the RITM lineage's documented
+    sampling distributions (the reference acknowledges RITM, README.md:128;
+    `isegm/data/` itself was never published):
+
+      * P(#pos = k) ∝ gamma^(k-1) for k in [1, N] and
+        P(#neg = k) ∝ gamma^k for k in [0, N] (RITM generate_probs);
+      * objects merge with probability merge_objects_prob, merged count
+        uniform in [2, max_num_merged_objects];
+      * each negative click picks a strategy from the configured
+        (bg, other, border) mix.
+
+    Chi-square-style bounds at 20k draws with a fixed seed.
+    """
+    gamma, n = 0.6, 6
+    s = MultiPointSampler(n, prob_gamma=gamma, merge_objects_prob=0.3,
+                          max_num_merged_objects=3,
+                          negative_bg_prob=0.2, negative_other_prob=0.3,
+                          negative_border_prob=0.5,
+                          positive_erode_prob=0.0)
+    h, w = 64, 96
+    yy, xx = np.mgrid[:h, :w]
+    # target far from 'other' so border/other/bg pools are disjoint
+    target = (np.abs(yy - 20) <= 8) & (np.abs(xx - 24) <= 8)
+    other = (np.abs(yy - 44) <= 6) & (np.abs(xx - 72) <= 6)
+    masks = [target.astype(np.int32), other.astype(np.int32)]
+
+    rng = np.random.default_rng(7)
+    trials = 20000
+    pos_counts = np.zeros(n + 1)
+    neg_counts = np.zeros(n + 1)
+    merged = 0
+    strat_counts = np.zeros(3)        # bg / other / border
+    from pvpuformer_tpu.data.points_sampler import _dilate
+    import math as _m
+    band = _dilate(target, max(1, int(0.1 * _m.sqrt(target.sum())))) & ~target
+
+    both = target.sum() + other.sum()
+    for _ in range(trials):
+        pts, tgt = s.sample(rng, masks)
+        kp = int((pts[:n, 2] >= 0).sum())
+        kn = int((pts[n:, 2] >= 0).sum())
+        pos_counts[kp] += 1
+        neg_counts[kn] += 1
+        if tgt.sum() == both:                  # objects merged (disjoint)
+            merged += 1
+            continue
+        if not np.array_equal(tgt > 0.5, target):
+            continue                           # sampler picked the other
+        for y, x, o in pts[n:]:                # blob as target: pools shift
+            if o < 0:
+                continue
+            iy, ix = int(y), int(x)
+            if band[iy, ix]:
+                strat_counts[2] += 1
+            elif other[iy, ix]:
+                strat_counts[1] += 1
+            else:
+                strat_counts[0] += 1
+
+    # P(k) ∝ gamma^k
+    expect_pos = gamma ** np.arange(n, dtype=np.float64)
+    expect_pos /= expect_pos.sum()
+    got_pos = pos_counts[1:] / pos_counts[1:].sum()
+    np.testing.assert_allclose(got_pos, expect_pos, atol=0.02)
+    expect_neg = gamma ** np.arange(n + 1, dtype=np.float64)
+    expect_neg /= expect_neg.sum()
+    got_neg = neg_counts / neg_counts.sum()
+    np.testing.assert_allclose(got_neg, expect_neg, atol=0.02)
+
+    # merge rate (2 objects -> merging always sums both)
+    assert abs(merged / trials - 0.3) < 0.02
+
+    # negative-strategy mix: border band is disjoint from other and bg by
+    # construction, so location identifies the strategy (bg fallback only
+    # when a pool is empty — never here)
+    mix = strat_counts / strat_counts.sum()
+    np.testing.assert_allclose(mix, [0.2, 0.3, 0.5], atol=0.03)
+
+
 def test_bezier_multi_endpoints_and_linearity():
     ctrl = np.array([[0.0, 0.0], [10.0, 10.0]])
     out = bezier_multi(ctrl, 11)
