@@ -417,10 +417,16 @@ def test_extra_eval_dataset_formats(tmp_path):
     ann = np.zeros((60, 90, 3), np.uint8)
     ann[10:30, 10:40] = (12, 1, 0)   # class 12, instance 1
     ann[35:55, 50:80] = (12, 2, 0)   # class 12, instance 2
-    (a / "annotations_instance" / "validation").mkdir(parents=True)
-    Image.fromarray(ann).save(a / "annotations_instance" / "validation" / "ADE_val_1.png")
+    ann[5:9, 60:85] = (7, 1, 0)      # class 7, instance 1 — instance ids
+    (a / "annotations_instance" / "validation").mkdir(parents=True)  # are
+    Image.fromarray(ann).save(                           # per-class in ADE
+        a / "annotations_instance" / "validation" / "ADE_val_1.png")
     sample = get_dataset("ADE20K", a).get_sample(0)
-    assert sorted(sample.objects_ids) == [1, 2]
+    # keyed by (class, instance) = class*1000 + instance: same instance
+    # number under different classes stays two separate objects
+    assert sorted(sample.objects_ids) == [7001, 12001, 12002]
+    assert sample.gt_mask(12001).sum() == 20 * 30
+    assert sample.gt_mask(7001).sum() == 4 * 25
 
     s = tmp_path / "SBDT"
     img(s / "img" / "t1.jpg")
