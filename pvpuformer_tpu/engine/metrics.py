@@ -6,12 +6,19 @@ beta=0.99) plus epoch-mean IoU at the adapted threshold.
 
 TPU split: the per-batch IoUs at the three candidate thresholds are computed
 in one jittable function (callable from inside the sharded train step, with
-the batch axis reduced by `psum` outside); the tiny EMA/hill-climb state
-machine stays on host, mirroring the reference's host-side updates.
+the batch axis reduced by `psum` outside). The EMA/hill-climb state machine
+exists twice with identical semantics (parity-tested against each other):
+  * `AdaptiveIoU` — the host class, mirroring the reference's eager updates
+    (tests, eval tooling, checkpoints);
+  * `adaptive_iou_step` over an `AdaptiveIoUState` — a jitted device update
+    the training loop threads through its steps, so the hot loop never
+    synchronizes on the metric (reading the IoU triplet back to host every
+    step would block dispatch pipelining; see engine/trainer.py).
 """
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +54,60 @@ def iou_at_thresholds(pred_logits: jnp.ndarray, gt: jnp.ndarray,
     return ious, valids[0] & gt_nonempty
 
 
+class AdaptiveIoUState(NamedTuple):
+    """Device-resident AdaptiveIoU scalars (all f32, replicated)."""
+    iou_thresh: jnp.ndarray
+    ema_iou: jnp.ndarray
+    epoch_iou_sum: jnp.ndarray
+    epoch_batch_count: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("thresh_step",))
+def state_thresholds(state: AdaptiveIoUState,
+                     thresh_step: float = 0.025) -> jnp.ndarray:
+    """[t, t-step, t+step] candidate thresholds for `iou_at_thresholds`."""
+    t = state.iou_thresh
+    return jnp.stack([t, t - thresh_step, t + thresh_step])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("thresh_step", "thresh_beta", "iou_beta"))
+def adaptive_iou_step(state: AdaptiveIoUState, ious: jnp.ndarray,
+                      valid: jnp.ndarray, thresh_step: float = 0.025,
+                      thresh_beta: float = 0.99, iou_beta: float = 0.9
+                      ) -> AdaptiveIoUState:
+    """One hill-climb + EMA update (metrics.py:52-61), on device.
+
+    ious: (3, B) at [t, t-step, t+step]; valid: (B,). Batches with no valid
+    sample leave the state untouched (metrics.py:48-50). Same arithmetic as
+    `AdaptiveIoU.update_from_ious` up to reduction order (masked-sum/n vs
+    mean-of-selected); parity-tested in tests/test_engine.py."""
+    vf = valid.astype(jnp.float32)
+    n = jnp.sum(vf)
+    means = jnp.sum(ious * vf[None, :], axis=1) / jnp.maximum(n, 1.0)
+
+    t = state.iou_thresh
+    cand = jnp.stack([t, t - thresh_step, t + thresh_step])
+    best_iou, best_t = means[0], cand[0]
+    for i in (1, 2):                      # reference scan order, strict >
+        better = means[i] > best_iou
+        best_iou = jnp.where(better, means[i], best_iou)
+        best_t = jnp.where(better, cand[i], best_t)
+
+    upd = n > 0
+    return AdaptiveIoUState(
+        iou_thresh=jnp.where(
+            upd, thresh_beta * t + (1.0 - thresh_beta) * best_t, t),
+        ema_iou=jnp.where(
+            upd, iou_beta * state.ema_iou + (1.0 - iou_beta) * best_iou,
+            state.ema_iou),
+        epoch_iou_sum=jnp.where(upd, state.epoch_iou_sum + best_iou,
+                                state.epoch_iou_sum),
+        epoch_batch_count=jnp.where(upd, state.epoch_batch_count + 1.0,
+                                    state.epoch_batch_count),
+    )
+
+
 class AdaptiveIoU:
     """Host-side EMA threshold adaptation (metrics.py:29-84)."""
 
@@ -74,6 +135,18 @@ class AdaptiveIoU:
     @property
     def iou_thresh(self) -> float:
         return self._iou_thresh
+
+    @property
+    def thresh_step(self) -> float:
+        return self._thresh_step
+
+    @property
+    def thresh_beta(self) -> float:
+        return self._thresh_beta
+
+    @property
+    def iou_beta(self) -> float:
+        return self._iou_beta
 
     def thresholds(self) -> np.ndarray:
         t = self._iou_thresh
@@ -108,6 +181,23 @@ class AdaptiveIoU:
                                         jnp.asarray(self.thresholds()),
                                         self._ignore_label)
         self.update_from_ious(np.asarray(ious), np.asarray(valid))
+
+    def device_state(self) -> AdaptiveIoUState:
+        """Snapshot the host scalars as a device-resident state (the training
+        loop threads this through `adaptive_iou_step` without host syncs)."""
+        return AdaptiveIoUState(
+            iou_thresh=jnp.float32(self._iou_thresh),
+            ema_iou=jnp.float32(self._ema_iou),
+            epoch_iou_sum=jnp.float32(self._epoch_iou_sum),
+            epoch_batch_count=jnp.float32(self._epoch_batch_count))
+
+    def ingest_state(self, state: AdaptiveIoUState) -> None:
+        """Sync a device state back into the host object (one readback per
+        scalar — call at epoch/log boundaries, never per step)."""
+        self._iou_thresh = float(state.iou_thresh)
+        self._ema_iou = float(state.ema_iou)
+        self._epoch_iou_sum = float(state.epoch_iou_sum)
+        self._epoch_batch_count = int(round(float(state.epoch_batch_count)))
 
     def get_epoch_value(self) -> float:
         if self._epoch_batch_count > 0:

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..parallel import make_mesh, shard_batch, shard_params
 from ..utils.serialization import save_checkpoint, load_checkpoint
-from .metrics import AdaptiveIoU
+from .metrics import AdaptiveIoU, adaptive_iou_step, state_thresholds
 from .train_step import TrainConfig, train_step, eval_step
 
 logger = logging.getLogger("pvpuformer_tpu")
@@ -48,12 +48,15 @@ class _AvgWriter:
 
     def add_scalar(self, tag, value, global_step, disable_avg=False):
         if disable_avg or self._period <= 1:
-            self._w.add_scalar(tag, value, global_step)
+            self._w.add_scalar(tag, float(value), global_step)
             return
+        # `value` may be a device scalar: accumulate WITHOUT float() so the
+        # training loop never blocks on the device — the one readback per
+        # window happens at dump time.
         s, n = self._acc.get(tag, (0.0, 0))
-        s, n = s + float(value), n + 1
+        s, n = s + value, n + 1
         if n >= self._period:
-            self._w.add_scalar(tag, s / n, global_step)
+            self._w.add_scalar(tag, float(s) / n, global_step)
             s, n = 0.0, 0
         self._acc[tag] = (s, n)
 
@@ -138,32 +141,39 @@ class Trainer:
         count = 0
         t0 = time.time()
 
+        # Async device loop: the AdaptiveIoU state and the per-key loss sums
+        # live on device, so the host never blocks on step results — XLA
+        # pipelines step k+1's dispatch while step k runs. The only per-window
+        # sync is float(loss) for the console line every `log_every` steps.
+        m = self.metrics[0]
+        mstate = m.device_state()
         with self.mesh:
             for i, batch in enumerate(self.train_loader):
                 num_iters = rng.randint(1, self.cfg.max_num_next_clicks)
                 key = jax.random.key((self.seed << 20) ^ self.global_step)
-                thr = jnp.asarray(self.metrics[0].thresholds())
+                thr = state_thresholds(mstate, thresh_step=m.thresh_step)
                 self.params, self.opt_state, logs, ious, valid = train_step(
                     self.params, self.opt_state, self._place(batch), key, thr,
                     cfg=self.cfg, tx=self.tx, num_iters=num_iters)
+                mstate = adaptive_iou_step(
+                    mstate, ious, valid, thresh_step=m.thresh_step,
+                    thresh_beta=m.thresh_beta, iou_beta=m.iou_beta)
                 self.global_step += 1
 
-                logs = {k: float(v) for k, v in logs.items()}
-                self.metrics[0].update_from_ious(np.asarray(ious),
-                                                 np.asarray(valid))
                 for k, v in logs.items():
-                    sums[k] = sums.get(k, 0.0) + v
+                    sums[k] = sums[k] + v if k in sums else v
                 count += 1
                 if (i + 1) % self.log_every == 0:
                     logger.info("epoch %d step %d loss %.4f (%.2f s/it)",
-                                epoch, i + 1, logs["loss"],
+                                epoch, i + 1, float(logs["loss"]),
                                 (time.time() - t0) / (i + 1))
                 self._log_scalar("Losses/loss", logs["loss"])
                 if self.image_dump_interval > 0 and \
                         self.global_step % self.image_dump_interval == 0:
                     self._dump_visualization(batch)
+        m.ingest_state(mstate)
 
-        means = {k: v / max(count, 1) for k, v in sums.items()}
+        means = {k: float(v) / max(count, 1) for k, v in sums.items()}
         means["AdaptiveIoU"] = self.metrics[0].get_epoch_value()
         logger.info("epoch %d done: loss %.4f iou %.4f", epoch,
                     means.get("loss", float("nan")), means["AdaptiveIoU"])
@@ -176,20 +186,24 @@ class Trainer:
         rng = random.Random(f"{self.seed}-{epoch}-val")
         sums: Dict[str, float] = {}
         count = 0
+        m = self.val_metrics[0]
+        mstate = m.device_state()
         with self.mesh:
             for batch in self.val_loader:
                 num_iters = rng.randint(1, self.cfg.max_num_next_clicks)
                 key = jax.random.key(epoch * 131071 + count)
-                thr = jnp.asarray(self.val_metrics[0].thresholds())
+                thr = state_thresholds(mstate, thresh_step=m.thresh_step)
                 logs, ious, valid = eval_step(
                     self.params, self._place(batch), key, thr,
                     cfg=self.cfg, num_iters=num_iters)
-                self.val_metrics[0].update_from_ious(np.asarray(ious),
-                                                     np.asarray(valid))
+                mstate = adaptive_iou_step(
+                    mstate, ious, valid, thresh_step=m.thresh_step,
+                    thresh_beta=m.thresh_beta, iou_beta=m.iou_beta)
                 for k, v in logs.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                    sums[k] = sums[k] + v if k in sums else v
                 count += 1
-        means = {k: v / max(count, 1) for k, v in sums.items()}
+        m.ingest_state(mstate)
+        means = {k: float(v) / max(count, 1) for k, v in sums.items()}
         means["AdaptiveIoU"] = self.val_metrics[0].get_epoch_value()
         logger.info("val epoch %d: loss %.4f iou %.4f", epoch,
                     means.get("loss", float("nan")), means["AdaptiveIoU"])

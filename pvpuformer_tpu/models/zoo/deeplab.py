@@ -73,12 +73,10 @@ class DeeplabISConfig:
 def _dilated_conv_bn(p, x, dilation: int, relu: bool = True):
     """3x3 conv with torch padding=dilation (symmetric), stride 1."""
     w = p["conv"]["w"]
-    y = jax.lax.conv_general_dilated(
+    y = nn.conv_nhwc(
         x, w.astype(x.dtype), (1, 1),
-        ((dilation, dilation), (dilation, dilation)),
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        ((dilation, dilation), (dilation, dilation)), 1,
+        (dilation, dilation)).astype(x.dtype)
     y = frozen_bn(p["bn"], y)
     return jax.nn.relu(y) if relu else y
 
@@ -170,11 +168,9 @@ def _init_sep(key, cin, cout):
 
 
 def _sep(p, x):
-    y = jax.lax.conv_general_dilated(
+    y = nn.conv_nhwc(
         x, p["dw"]["w"].astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=x.shape[-1],
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        x.shape[-1], (1, 1)).astype(x.dtype)
     y = nn.conv1x1(p["pw"], y)
     return jax.nn.relu(frozen_bn(p["bn"], y))
 

@@ -65,11 +65,9 @@ def _init_dwconv(key, ch: int) -> Dict[str, Any]:
 
 
 def _dwconv(p, x: jnp.ndarray) -> jnp.ndarray:
-    y = jax.lax.conv_general_dilated(
+    y = nn.conv_nhwc(
         x, p["w"].astype(x.dtype), (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=x.shape[-1],
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        x.shape[-1], (1, 1)).astype(x.dtype)
     return y + p["b"].astype(x.dtype)
 
 

@@ -17,6 +17,7 @@ Torch-parity conventions (so converted reference weights drop in):
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
@@ -171,6 +172,43 @@ def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int, bias: bool = True,
     return p
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def conv_nhwc(x: jnp.ndarray, w: jnp.ndarray, strides, padding, groups,
+              rhs_dilation) -> jnp.ndarray:
+    """NHWC/HWIO conv with f32 MXU accumulation that survives `jax.grad`.
+
+    jax 0.9.0's conv transpose rule rejects `preferred_element_type=f32`
+    with bf16 operands ("requires arguments to have the same dtypes, got
+    bfloat16, float32"), so the f32-accumulated conv is not differentiable
+    as written. This wrapper keeps the f32-accumulated forward and defines
+    the backward as the VJP of the *same-dtype* conv (operand-dtype
+    accumulation for the two gradient convs — standard mixed-precision
+    practice; on TPU the MXU still accumulates f32 internally and only the
+    gradient outputs round to bf16). Output dtype: f32 (caller casts)."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups, rhs_dilation=rhs_dilation,
+        preferred_element_type=jnp.float32)
+
+
+def _conv_nhwc_fwd(x, w, strides, padding, groups, rhs_dilation):
+    return conv_nhwc(x, w, strides, padding, groups, rhs_dilation), (x, w)
+
+
+def _conv_nhwc_bwd(strides, padding, groups, rhs_dilation, res, g):
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda xx, ww: jax.lax.conv_general_dilated(
+            xx, ww, window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups, rhs_dilation=rhs_dilation), x, w)
+    return vjp(g.astype(x.dtype))
+
+
+conv_nhwc.defvjp(_conv_nhwc_fwd, _conv_nhwc_bwd)
+
+
 def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
            padding: str | Sequence = "TORCH", groups: int = 1) -> jnp.ndarray:
     """"TORCH" padding (default) = symmetric k//2 per side, exactly torch's
@@ -180,12 +218,10 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
     if isinstance(padding, str) and padding == "TORCH":
         kh, kw = p["w"].shape[0], p["w"].shape[1]
         padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
-    y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype),
-        window_strides=(stride, stride), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32).astype(x.dtype)
+    if not isinstance(padding, str):
+        padding = tuple(tuple(pp) for pp in padding)
+    y = conv_nhwc(x, p["w"].astype(x.dtype), (stride, stride), padding,
+                  groups, (1, 1)).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

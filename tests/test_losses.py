@@ -223,3 +223,46 @@ def test_adaptive_iou_tracks_reference():
 
     np.testing.assert_allclose(m.iou_thresh, ref_thresh, rtol=1e-5)
     np.testing.assert_allclose(m._ema_iou, ref_ema, rtol=1e-4)
+
+
+def test_adaptive_iou_device_state_matches_host():
+    """The jitted AdaptiveIoU update the training loop threads through its
+    steps (metrics.adaptive_iou_step) must track the host class exactly,
+    including the no-valid-sample skip and the strict-improvement scan
+    order (metrics.py:48-61)."""
+    from pvpuformer_tpu.engine.metrics import (AdaptiveIoU, adaptive_iou_step,
+                                               iou_at_thresholds,
+                                               state_thresholds)
+
+    r = rng(11)
+    host = AdaptiveIoU()
+    state = host.device_state()
+    for step in range(6):
+        pred = r.normal(0, 2, size=(4, 16, 16, 1)).astype(np.float32)
+        if step == 3:      # an all-empty batch must leave both untouched
+            gt = np.zeros((4, 16, 16, 1), np.float32)
+        else:
+            gt = (r.uniform(size=(4, 16, 16, 1)) > 0.5).astype(np.float32)
+
+        thr_host = host.thresholds()
+        thr_dev = np.asarray(state_thresholds(state))
+        np.testing.assert_allclose(thr_dev, thr_host, rtol=1e-6)
+
+        ious, valid = iou_at_thresholds(jnp.asarray(pred), jnp.asarray(gt),
+                                        jnp.asarray(thr_host))
+        host.update_from_ious(np.asarray(ious), np.asarray(valid))
+        state = adaptive_iou_step(state, ious, valid)
+
+    np.testing.assert_allclose(float(state.iou_thresh), host.iou_thresh,
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(state.ema_iou), host._ema_iou, rtol=1e-5)
+    np.testing.assert_allclose(float(state.epoch_iou_sum),
+                               host._epoch_iou_sum, rtol=1e-5)
+    assert int(round(float(state.epoch_batch_count))) == \
+        host._epoch_batch_count
+
+    # round-trip: ingest_state must land the host exactly on the device state
+    host2 = AdaptiveIoU()
+    host2.ingest_state(state)
+    np.testing.assert_allclose(host2.iou_thresh, float(state.iou_thresh))
+    assert host2.get_epoch_value() > 0

@@ -253,3 +253,54 @@ def test_large_huge_configs_shape_check():
                              params, img, pts)
         assert out["instances"].shape == (1, 448, 448, 1)
         assert cfg.neck.two_way.embedding_dim == cfg.backbone.embed_dim
+
+
+def test_conv_bf16_grad_matches_f32():
+    """jax 0.9.0's conv transpose rule rejects preferred_element_type=f32
+    with bf16 operands; nn.conv_nhwc's custom VJP must make every conv2d
+    variant (plain / strided / grouped / dilated) differentiable in bf16,
+    with gradients close to the f32 reference."""
+    from pvpuformer_tpu import nn
+
+    r = np.random.default_rng(3)
+    x32 = jnp.asarray(r.normal(size=(2, 8, 8, 16)), jnp.float32)
+    variants = [
+        dict(kh=3, kw=3, groups=1, stride=1, padding="TORCH"),
+        dict(kh=2, kw=2, groups=1, stride=2, padding="VALID"),
+        dict(kh=3, kw=3, groups=16, stride=1, padding="SAME"),
+        dict(kh=3, kw=3, groups=1, stride=1, padding=((2, 2), (2, 2))),
+    ]
+    for v in variants:
+        p = nn.init_conv(jax.random.PRNGKey(0), v["kh"], v["kw"],
+                         16, 16, groups=v["groups"])
+
+        def loss(params, x):
+            y = nn.conv2d(params, x, stride=v["stride"],
+                          padding=v["padding"], groups=v["groups"])
+            return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+        g32 = jax.grad(loss)(p, x32)
+        gbf = jax.grad(loss)(p, x32.astype(jnp.bfloat16))  # crashed pre-fix
+        for k in ("w", "b"):
+            assert g32[k].dtype == gbf[k].dtype == jnp.float32
+            denom = np.abs(np.asarray(g32[k])).max() + 1e-6
+            rel = np.abs(np.asarray(gbf[k]) - np.asarray(g32[k])).max() / denom
+            assert rel < 0.05, (v, k, rel)
+
+
+def test_conv_dilated_bf16_grad():
+    """DeepLab's dilated conv path (deeplab.py _dilated_conv_bn) must also
+    differentiate in bf16 through nn.conv_nhwc."""
+    from pvpuformer_tpu import nn
+
+    r = np.random.default_rng(5)
+    x = jnp.asarray(r.normal(size=(1, 9, 9, 8)), jnp.bfloat16)
+    w = jnp.asarray(r.normal(size=(3, 3, 8, 8)) * 0.1, jnp.float32)
+
+    def loss(w):
+        y = nn.conv_nhwc(x, w.astype(x.dtype), (1, 1),
+                         ((2, 2), (2, 2)), 1, (2, 2))
+        return jnp.sum(jnp.square(y))
+
+    g = jax.grad(loss)(w)
+    assert g.dtype == jnp.float32 and float(jnp.sum(jnp.abs(g))) > 0
