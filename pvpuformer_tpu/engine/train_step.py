@@ -37,7 +37,8 @@ import optax
 
 from ..models.vpu import VPUConfig, vpu_forward_traced_type
 from . import losses as L
-from .prompt_sim import get_next_prompts
+from .prompt_sim import (get_next_prompts, next_clicks, synth_boxes,
+                         update_ed_mask)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,7 +126,6 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
         # trainer.py:333-338: discard sampler clicks, take one error-mask click
         key, k0 = jax.random.split(key)
         points = jnp.full_like(points, -1.0)
-        from .prompt_sim import next_clicks
         points, _ = next_clicks(prev[..., 0], gt[..., 0], points, k0,
                                 pred_thresh=cfg.pred_thresh)
 
@@ -140,19 +140,31 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
 
     total = jnp.float32(0.0)
     logs: Dict[str, jnp.ndarray] = {}
-    boxes = jnp.zeros((b, 5), jnp.int32)
+    no_boxes = jnp.zeros((b, 5), jnp.int32)
     out = None
+    # Box synthesis (connected components + bbox) is by far the most
+    # expensive prompt-sim piece on TPU (~78 ms vs 31 ms for the whole model
+    # fwd+bwd at b8/448, scripts/profile_train.py), but the round only
+    # consumes boxes when as_prompt_type lands on 1. The reference computes
+    # cal_box every round on host and lets the model pick
+    # (trainer.py:367-448); here each round draws its prompt type FIRST and
+    # synthesizes boxes under a scalar `lax.cond`, so XLA skips the CC work
+    # on click rounds. Identical training-data distribution: the box branch,
+    # when taken, consumes exactly the same keys/masks as before.
+    prompt_type = None
     for k in range(num_iters):
         key, kp, kt, kd = jax.random.split(key, 4)
-        prompt_type = jax.random.randint(kt, (), 0, 2)      # trainer.py:367
-
         if k == 0:
+            prompt_type = jax.random.randint(kt, (), 0, 2)  # trainer.py:367
             # boxes from the initial error masks; points/ed untouched
-            _, boxes, _ = get_next_prompts(prev[..., 0], gt[..., 0], points,
-                                           ed_mask, kp,
-                                           pred_thresh=cfg.pred_thresh,
-                                           as_allmask=cfg.as_allmask,
-                                           update_points=False)
+            boxes = jax.lax.cond(
+                prompt_type == 1,
+                lambda: get_next_prompts(prev[..., 0], gt[..., 0], points,
+                                         ed_mask, kp,
+                                         pred_thresh=cfg.pred_thresh,
+                                         as_allmask=cfg.as_allmask,
+                                         update_points=False)[1],
+                lambda: no_boxes)
 
         net_input = jnp.concatenate(
             [image, jax.lax.stop_gradient(prev).astype(image.dtype)], axis=-1)
@@ -168,10 +180,19 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
         prev = jax.lax.stop_gradient(prev)
 
         if k < num_iters - 1:
-            key, kn = jax.random.split(key)
-            points, boxes, ed_mask = get_next_prompts(
-                prev[..., 0], gt[..., 0], points, ed_mask, kn,
-                pred_thresh=cfg.pred_thresh, as_allmask=cfg.as_allmask)
+            key, kn, kb, ktn = jax.random.split(key, 4)
+            # next round's type decides whether the box branch runs at all
+            next_type = jax.random.randint(ktn, (), 0, 2)
+            new_points, info = next_clicks(prev[..., 0], gt[..., 0], points,
+                                           kn, pred_thresh=cfg.pred_thresh)
+            boxes = jax.lax.cond(
+                next_type == 1,
+                lambda: synth_boxes(gt[..., 0], info.fn_mask, info.fp_mask,
+                                    points, kb, as_allmask=cfg.as_allmask),
+                lambda: no_boxes)
+            points = new_points
+            ed_mask = update_ed_mask(ed_mask, info)
+            prompt_type = next_type
 
             if cfg.prev_mask_drop_prob > 0:
                 keep = jax.random.uniform(kd, (b, 1, 1, 1)) >= \
@@ -190,8 +211,6 @@ def _itermask_forward(params, cfg: TrainConfig, fwd, image, gt, points,
     493-522): simulate num_iters click rounds WITHOUT gradients, then one
     supervised forward on the final state. Loss = NFL + Dice (no P2CL round
     accumulation)."""
-    from .prompt_sim import next_clicks
-
     for _ in range(num_iters):
         key, kt, kn = jax.random.split(key, 3)
         net_input = jnp.concatenate([image, prev.astype(image.dtype)],

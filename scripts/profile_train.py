@@ -74,6 +74,9 @@ def main() -> None:
 
     print(f"# ViT-B@{hw}, batch {b}, {args.dtype}, remat={args.remat}")
 
+    from pvpuformer_tpu.engine.prompt_sim import set_cc_default_impl
+    set_cc_default_impl("xla")          # sections re-select explicitly below
+
     def section(label, fn, fargs):
         """One timed section; a failure prints and moves on (a dtype bug in
         one repro must not block the component breakdown below it)."""
@@ -89,6 +92,10 @@ def main() -> None:
         def step(c, params, batch, key, ni=ni):
             bb = dict(batch)
             bb["image"] = bb["image"] + c.astype(bb["image"].dtype)
+            # vary the key with the timing carry so the prompt-type lax.cond
+            # branches (click vs box round) are sampled across the scan, not
+            # pinned to one realized path
+            key = jax.random.fold_in(key, (c * 1e32).astype(jnp.int32))
             (loss, _), grads = jax.value_and_grad(
                 iterloss_forward, has_aux=True)(params, cfg, bb, key, ni)
             return loss + sum(jnp.sum(g).astype(jnp.float32)
@@ -149,7 +156,56 @@ def main() -> None:
     def cc(c, m):
         return jnp.sum(jax.vmap(cc_labels)((m + c) > 0.5).astype(
             jnp.float32))
-    section(f"cc_labels b{b}:", cc, (jnp.asarray(gt[..., 0]),))
+    section(f"cc_labels b{b} (xla):", cc, (jnp.asarray(gt[..., 0]),))
+
+    from pvpuformer_tpu.ops.cc_pallas import cc_labels_pallas
+
+    def ccp(c, m):
+        return jnp.sum(cc_labels_pallas((m + c) > 0.5).astype(jnp.float32))
+    section(f"cc_labels b{b} (pallas):", ccp, (jnp.asarray(gt[..., 0]),))
+
+    set_cc_default_impl("pallas")
+    section("synth_boxes (pallas cc):", boxes,
+            (batch["instances"], batch["points"]))
+    for ni in [1, 2, 3]:
+        def stepp(c, params, batch, key, ni=ni):
+            bb = dict(batch)
+            bb["image"] = bb["image"] + c.astype(bb["image"].dtype)
+            key = jax.random.fold_in(key, (c * 1e32).astype(jnp.int32))
+            (loss, _), grads = jax.value_and_grad(
+                iterloss_forward, has_aux=True)(params, cfg, bb, key, ni)
+            return loss + sum(jnp.sum(g).astype(jnp.float32)
+                              for g in jax.tree_util.tree_leaves(grads)[:1])
+        section(f"grad(iterloss,pallas cc) ni={ni}:", stepp,
+                (params, batch, key))
+    set_cc_default_impl("auto")
+
+    # --- fwd+bwd including the P2CL aux loss (the big (B,H,W,2N) path) ----
+    gtm = jnp.asarray(gt[..., 0] > 0.5)
+    nmax = points.shape[1] // 2
+    ed = jnp.concatenate(
+        [jnp.repeat(gtm[..., None], nmax, axis=-1),
+         jnp.repeat((~gtm)[..., None], nmax, axis=-1)], axis=-1)
+
+    def fwd_bwd_aux(c, params, image, pts):
+        def loss_fn(p):
+            out = vpu_forward(
+                p, mcfg,
+                jnp.concatenate(
+                    [image + c.astype(image.dtype),
+                     jnp.zeros_like(image[..., :1])], axis=-1),
+                pts, prompt_type=0)
+            l = jnp.mean(L.normalized_focal_loss(
+                out["instances"], jnp.asarray(gt)))
+            l += jnp.mean(L.sigmoid_bce_loss(
+                out["instances_aux"], ed.astype(jnp.float32),
+                from_sigmoid=True))
+            return l
+        l, g = jax.value_and_grad(loss_fn)(params)
+        return l + jnp.sum(jax.tree_util.tree_leaves(g)[0]).astype(
+            jnp.float32)
+    section("model fwd+bwd (+P2CL aux):", fwd_bwd_aux,
+            (params, batch["image"], batch["points"]))
 
 
 if __name__ == "__main__":

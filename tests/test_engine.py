@@ -403,3 +403,30 @@ def test_trainer_does_not_consume_caller_params():
     pts = jnp.full((1, 12, 3), -1.0)
     out = vpu_forward(params, mcfg, img, pts, prompt_type=0)
     assert np.isfinite(np.asarray(out["instances"])).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_pallas_matches_xla(seed):
+    """The Pallas CC kernel (ops/cc_pallas.py, interpret mode on CPU) must
+    produce exactly the labels of the XLA cc_labels fixpoint."""
+    from pvpuformer_tpu.ops.cc_pallas import cc_labels_pallas
+
+    m = blobby_mask(seed, h=57, w=83)   # deliberately pad-unaligned
+    ref = np.asarray(PS.cc_labels(jnp.asarray(m)))
+    got = np.asarray(cc_labels_pallas(jnp.asarray(m)[None], interpret=True))[0]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_cc_pallas_impl_switch_regions():
+    """connected_regions_mask through impl="pallas" (interpret) must match
+    the scipy oracle, same as the XLA path."""
+    from pvpuformer_tpu.ops.cc_pallas import cc_labels_pallas
+
+    m = blobby_mask(7)
+    lab = np.asarray(cc_labels_pallas(jnp.asarray(m)[None], interpret=True))[0]
+    # regions derived from pallas labels == scipy keep-mask partition
+    sizes = np.bincount(lab.ravel())
+    sizes[0] = 0
+    keep = (lab == sizes.argmax()) | (sizes[lab] > 0.1 * m.sum())
+    keep &= m
+    np.testing.assert_array_equal(keep, cc_keep_oracle(m))
