@@ -65,15 +65,9 @@ def _segmented_run_max(lab: jnp.ndarray, reset: jnp.ndarray,
     return jnp.maximum(outs[0], outs[1])
 
 
-def _cc_kernel(m_ref, o_ref, *, h: int, w: int, iters: int):
-    mask = m_ref[0] != 0                                   # (Hp, Wp) bool
-    hp, wp = mask.shape
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    # unpadded flat index + 1 (padded pixels carry mask=False, value unused)
-    idx = r_iota * w + c_iota + 1
-    lab = jnp.where(mask, idx, 0)
-    reset = 1 - m_ref[0]                     # int32 0/1, see _segmented_run_max
+def _flood(lab: jnp.ndarray, mask: jnp.ndarray, reset: jnp.ndarray,
+           iters: int) -> jnp.ndarray:
+    """`iters` rounds of 8-connected max propagation of `lab` over `mask`."""
 
     def round_(_, lab):
         # separable 3x3 max-pool (8-connectivity hop across run boundaries)
@@ -86,7 +80,61 @@ def _cc_kernel(m_ref, o_ref, *, h: int, w: int, iters: int):
         lab = _segmented_run_max(lab, reset, axis=0)
         return jnp.where(mask, lab, 0)
 
-    o_ref[0] = jax.lax.fori_loop(0, iters, round_, lab)
+    return jax.lax.fori_loop(0, iters, round_, lab)
+
+
+def _cc_kernel(m_ref, o_ref, *, h: int, w: int, iters: int):
+    mask = m_ref[0] != 0                                   # (Hp, Wp) bool
+    hp, wp = mask.shape
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    # unpadded flat index + 1 (padded pixels carry mask=False, value unused)
+    idx = r_iota * w + c_iota + 1
+    lab = jnp.where(mask, idx, 0)
+    reset = 1 - m_ref[0]                     # int32 0/1, see _segmented_run_max
+    o_ref[0] = _flood(lab, mask, reset, iters)
+
+
+def _prop_kernel(m_ref, v_ref, o_ref, *, iters: int):
+    mask = m_ref[0] != 0
+    reset = 1 - m_ref[0]
+    lab = jnp.where(mask, v_ref[0], 0)
+    o_ref[0] = _flood(lab, mask, reset, iters)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def component_max_pallas(masks: jnp.ndarray, values: jnp.ndarray,
+                         iters: int = 8,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Per-component max of `values` over each 8-connected component of
+    `masks`, propagated in VMEM. masks: (B, H, W) bool; values: (B, H, W)
+    int32 (non-negative; background reads 0). Used to broadcast a value
+    planted at one pixel (e.g. a component representative) to the whole
+    component without a per-pixel gather."""
+    b, h, w = masks.shape
+    hp = ((h + 7) // 8) * 8
+    wp = ((w + 127) // 128) * 128
+    m = jnp.pad(masks.astype(jnp.int32), ((0, 0), (0, hp - h), (0, wp - w)))
+    v = jnp.pad(values.astype(jnp.int32), ((0, 0), (0, hp - h), (0, wp - w)))
+
+    out = pl.pallas_call(
+        functools.partial(_prop_kernel, iters=iters),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.int32),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=iters * 60 * b * hp * wp,
+            bytes_accessed=3 * b * hp * wp * 4, transcendentals=0),
+        interpret=interpret,
+    )(m, v)
+    return out[:, :h, :w]
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))

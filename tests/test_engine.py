@@ -48,15 +48,34 @@ def cc_keep_oracle(mask, keep_frac=0.1):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_connected_regions_vs_scipy(seed):
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_connected_regions_vs_scipy(seed, impl):
     m = blobby_mask(seed)
-    ours = np.asarray(PS.connected_regions_mask(jnp.asarray(m)))
+    ours = np.asarray(PS.connected_regions_mask(jnp.asarray(m), impl=impl))
     np.testing.assert_array_equal(ours, cc_keep_oracle(m))
 
 
-def test_connected_regions_empty():
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_connected_regions_empty(impl):
     m = np.zeros((16, 16), bool)
-    assert not np.asarray(PS.connected_regions_mask(jnp.asarray(m))).any()
+    assert not np.asarray(
+        PS.connected_regions_mask(jnp.asarray(m), impl=impl)).any()
+
+
+def test_connected_regions_size_ties_match_across_impls():
+    """Two equal-max-size components among many speckles (each <=10% of the
+    foreground): both impls must break the largest-component tie the same
+    way (scatter argmax -> smallest label). The scipy oracle is not pinned
+    here — its tie order follows scipy's raster label order, not ours."""
+    m = np.zeros((40, 64), bool)
+    m[2:4, 2:4] = True            # 4 px
+    m[30:32, 50:52] = True        # 4 px (joint largest)
+    for r in range(10, 28, 3):    # 6 rows x 7 cols = 42 isolated speckles
+        for c in range(8, 64, 8):
+            m[r, c] = True        # total 50 px -> each 4-px comp is 8% < 10%
+    a = np.asarray(PS.connected_regions_mask(jnp.asarray(m), impl="xla"))
+    b = np.asarray(PS.connected_regions_mask(jnp.asarray(m), impl="pallas"))
+    np.testing.assert_array_equal(a, b)
 
 
 # ----------------------------------------------------------------- next click
