@@ -198,7 +198,10 @@ def _next_click_one(pred: jnp.ndarray, gt: jnp.ndarray, orders: jnp.ndarray,
     fn = gtm & (pred < pred_thresh)
     fp = (~gtm) & (pred > pred_thresh)
 
-    d_fn, d_fp = squared_edt_pair(fn, fp)
+    # chunk=None: the unchunked min-plus is 6.6x faster at training batch
+    # shapes (the chunked lax.map serializes); the chunked default only wins
+    # inside the eval click-step program (ops/edt.squared_edt docstring).
+    d_fn, d_fp = squared_edt_pair(fn, fp, chunk=None)
     fn_max = jnp.max(d_fn)
     fp_max = jnp.max(d_fp)
     is_positive = fn_max > fp_max
@@ -421,10 +424,17 @@ def get_next_prompts(pred: jnp.ndarray, gt: jnp.ndarray, points: jnp.ndarray,
     pred/gt: (B, H, W); points: (B, 2N, 3); ed_mask: (B, H, W, 2N) bool.
     Returns (points, boxes (B,5), ed_mask)."""
     kc, kb = jax.random.split(key)
+    if not update_points:
+        # click_indx == 0 path (trainer.py:370-376): boxes/scribbles only.
+        # The click (and its EDT pair, ~10 ms at b8 448^2) is never consumed
+        # here, so compute only the error masks synth_boxes needs.
+        gtm = gt > 0.5
+        fn = gtm & (pred < pred_thresh)
+        fp = (~gtm) & (pred > pred_thresh)
+        boxes = synth_boxes(gt, fn, fp, points, kb,
+                            as_allmask=as_allmask, jitter=jitter_box)
+        return points, boxes, ed_mask
     new_points, info = next_clicks(pred, gt, points, kc, pred_thresh)
     boxes = synth_boxes(gt, info.fn_mask, info.fp_mask, points, kb,
                         as_allmask=as_allmask, jitter=jitter_box)
-    if not update_points:
-        # click_indx == 0 path (trainer.py:370-376): boxes/scribbles only
-        return points, boxes, ed_mask
     return new_points, boxes, update_ed_mask(ed_mask, info)
