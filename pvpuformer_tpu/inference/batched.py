@@ -39,13 +39,28 @@ def _stack_states(states: Sequence[SessionState]) -> SessionState:
 
 
 class BatchedEvaluator:
-    """Evaluate a dataset B sessions at a time."""
+    """Evaluate a dataset B sessions at a time.
 
-    def __init__(self, params, cfg: PredictorConfig, batch_size: int = 8):
+    With `mesh`, sessions are additionally sharded over the mesh's `data`
+    axis inside the same program (scale-out eval the reference never had,
+    SURVEY §2.8: "eval parallelism: none"): params are replicated once,
+    each device runs batch_size/|data| sessions, and the only cross-device
+    traffic is the result gather. batch_size must divide by the data-axis
+    size (the padding below already rounds every group up to batch_size).
+    """
+
+    def __init__(self, params, cfg: PredictorConfig, batch_size: int = 8,
+                 mesh=None):
         from ..nn import cast_params
         self.params = cast_params(params, cfg.model.dtype)
         self.cfg = cfg
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+            assert batch_size % mesh.shape["data"] == 0, \
+                (batch_size, dict(mesh.shape))
+            self.params = shard_params(self.params, mesh)
 
     def _canvas(self, h: int, w: int) -> Tuple[int, int]:
         b = self.cfg.canvas_bucket
@@ -80,6 +95,9 @@ class BatchedEvaluator:
                 states = [st for _, st in chunk] + \
                     [chunk[-1][1]] * pad               # pad with a duplicate
                 stacked = _stack_states(states)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+                    stacked = shard_batch(stacked, self.mesh)
                 _, ious = batched_click_scan(self.params, self.cfg, stacked,
                                              max_clicks)
                 ious = np.asarray(ious)

@@ -65,6 +65,11 @@ class PredictorConfig:
     # inside the nested multi-session scan (5.17 vs 4.50); "auto" = pallas
     # on TPU for interactive (single-scan) use
     edt_impl: str = "xla"
+    # min-plus column-block size (ops/edt.squared_edt): 32 wins inside the
+    # single-session click program (VMEM competition with the model); None
+    # (one unchunked fused reduction) is 6.6x faster when the EDT runs
+    # vmapped across sessions — batched evaluation sets None.
+    edt_chunk: Optional[int] = 32
 
 
 class SessionState(NamedTuple):
@@ -275,7 +280,8 @@ def click_step(params, cfg: PredictorConfig, state: SessionState):
     fp = (~gt_pos) & pred & not_ignore
     from ..ops.edt import resolve_impl
     is_pos, cy, cx, _ = next_click_from_error(fn, fp, state.not_clicked,
-                                              impl=resolve_impl(cfg.edt_impl))
+                                              impl=resolve_impl(cfg.edt_impl),
+                                              chunk=cfg.edt_chunk)
 
     order = state.click_count.astype(jnp.float32)
     row = jnp.stack([cy.astype(jnp.float32), cx.astype(jnp.float32), order])

@@ -135,13 +135,14 @@ def resolve_impl(impl: Optional[str]) -> str:
 
 def next_click_from_error(fn_mask: jnp.ndarray, fp_mask: jnp.ndarray,
                           not_clicked: jnp.ndarray,
-                          impl: Optional[str] = None):
+                          impl: Optional[str] = None,
+                          chunk: Optional[int] = 32):
     """Oracle next-click: center of the larger of the FN / FP error regions.
 
     Reproduces Clicker._get_next_click (clicker.py:29-56):
     returns (is_positive, y, x, max_sqdist).
     """
-    d_fn, d_fp = squared_edt_pair(fn_mask, fp_mask, impl=impl)
+    d_fn, d_fp = squared_edt_pair(fn_mask, fp_mask, impl=impl, chunk=chunk)
     d_fn = d_fn * not_clicked
     d_fp = d_fp * not_clicked
     fn_max = jnp.max(d_fn)

@@ -64,6 +64,10 @@ def parse_args():
     p.add_argument("--batched", type=int, default=0, metavar="B",
                    help="evaluate B sessions per dispatch (throughput mode; "
                         "0 = sequential, one dispatch per session)")
+    p.add_argument("--eval-mesh", type=int, default=0, metavar="D",
+                   help="with --batched: shard each session batch over a "
+                        "D-device data mesh inside the same program (B must "
+                        "divide by D); 0 = single device")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--parity", action="store_true",
@@ -218,7 +222,12 @@ def main() -> None:
             assert args.mode.lower() == "nobrs", \
                 "--batched supports NoBRS only"
             from pvpuformer_tpu.inference.batched import BatchedEvaluator
-            bev = BatchedEvaluator(ds_params, pcfg, batch_size=args.batched)
+            mesh = None
+            if args.eval_mesh:
+                from pvpuformer_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh(args.eval_mesh)
+            bev = BatchedEvaluator(ds_params, pcfg, batch_size=args.batched,
+                                   mesh=mesh)
             all_ious, elapsed, stats = bev.evaluate(
                 dataset, max_clicks=args.n_clicks, max_iou_thr=target_iou,
                 min_clicks=args.min_n_clicks)

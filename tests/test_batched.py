@@ -26,3 +26,26 @@ def test_batched_matches_sequential():
     for a, b in zip(seq_curves, bat_curves):
         np.testing.assert_allclose(a, b, atol=2e-5)
     assert stats["objects_per_sec"] > 0
+
+
+def test_batched_mesh_sharded_matches_single_device():
+    """Sessions sharded over the 8-virtual-device data mesh produce the
+    same IoU curves as the single-device batched path."""
+    from pvpuformer_tpu.parallel.mesh import make_mesh
+
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.key(0), mcfg)
+    cfg = PredictorConfig(model=mcfg, target_size=(64, 64), min_crop_size=32)
+    ds = SyntheticDataset(n_samples=5, hw=(64, 64))
+
+    single = BatchedEvaluator(params, cfg, batch_size=4)
+    ref_curves, _, _ = single.evaluate(ds, max_clicks=3, max_iou_thr=0.95)
+
+    mesh = make_mesh(4)                       # 4-way data parallel
+    sharded = BatchedEvaluator(params, cfg, batch_size=4, mesh=mesh)
+    got_curves, _, stats = sharded.evaluate(ds, max_clicks=3,
+                                            max_iou_thr=0.95)
+    assert len(got_curves) == len(ref_curves) == 5
+    for a, b in zip(ref_curves, got_curves):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+    assert stats["clicks_per_sec"] > 0
