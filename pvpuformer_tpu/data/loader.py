@@ -52,24 +52,30 @@ class Loader:
             order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
         nb = len(self)
 
-        def make_batch(bi: int):
+        def local_idxs(bi: int):
             lo = bi * self.global_batch
             idxs = order[lo:lo + self.global_batch]
-            local = idxs[self.pidx::self.pcount][:self.local_batch]
-            return _collate([self.dataset[int(i)] for i in local])
+            return idxs[self.pidx::self.pcount][:self.local_batch]
 
         if self.num_workers <= 1:
             for bi in range(nb):
-                yield make_batch(bi)
+                yield _collate([self.dataset[int(i)]
+                                for i in local_idxs(bi)])
             return
 
+        # fan records out individually (not one task per batch) so a single
+        # slow decode doesn't serialize its whole batch; batches still arrive
+        # in order, `prefetch` batches ahead.
         with ThreadPoolExecutor(self.num_workers) as pool:
-            pending = [pool.submit(make_batch, bi)
-                       for bi in range(min(self.prefetch, nb))]
+            def submit(bi: int):
+                return [pool.submit(self.dataset.__getitem__, int(i))
+                        for i in local_idxs(bi)]
+
+            pending = [submit(bi) for bi in range(min(self.prefetch, nb))]
             nxt = len(pending)
             for _ in range(nb):
-                fut = pending.pop(0)
+                futs = pending.pop(0)
                 if nxt < nb:
-                    pending.append(pool.submit(make_batch, nxt))
+                    pending.append(submit(nxt))
                     nxt += 1
-                yield fut.result()
+                yield _collate([f.result() for f in futs])
