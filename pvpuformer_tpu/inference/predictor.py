@@ -60,6 +60,11 @@ class PredictorConfig:
     # session and predictions reported at that size (transforms/
     # limit_longest_side.py:4-22). 0 disables.
     limit_longest_side: int = 0
+    # feed only the first K clicks (temporal order) to the network; the
+    # session state keeps all clicks for next-click exclusion/ZoomIn, like
+    # the reference (base.py:200-205 `clicks_list[:net_clicks_limit]`,
+    # CLI --clicks-limit). None = all.
+    net_clicks_limit: Optional[int] = None
     # min-plus EDT implementation (ops/edt.py): "xla" default — the Pallas
     # kernel wins in a single-session scan (4.10 vs 4.24 ms/click) but LOSES
     # inside the nested multi-session scan (5.17 vs 4.50); "auto" = pallas
@@ -233,7 +238,13 @@ def _forward_round(params, cfg: PredictorConfig, state: SessionState,
     if cfg.with_flip:
         crop = jnp.concatenate([crop, crop[:, :, ::-1, :]], axis=0)
 
-    pts = _transform_points(points, roi, (th, tw), cfg.with_flip)
+    net_points = points
+    if cfg.net_clicks_limit is not None:
+        # first-K-clicks truncation happens at net-input time only; ROI
+        # selection above saw every click (base.py:200-205)
+        net_points = jnp.where(points[..., 2:3] < cfg.net_clicks_limit,
+                               points, -1.0)
+    pts = _transform_points(net_points, roi, (th, tw), cfg.with_flip)
 
     boxes = scribbles = None
     if cfg.prompt_mode != 0:

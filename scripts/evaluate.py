@@ -48,6 +48,31 @@ def parse_args():
                         "sam_evaluation loop does not)")
     p.add_argument("--random-weights", action="store_true",
                    help="random ViT-B/448 weights (pipeline smoke run)")
+    p.add_argument("--exp-path", default=None,
+                   help="resolve the checkpoint from the experiments tree "
+                        "instead of --checkpoint: 'rel/exp[:prefix]' globs "
+                        "<EXPS_PATH>/rel/exp* and picks the newest "
+                        "checkpoints/prefix*.npz (evaluate_vpumodel.py:"
+                        "211-232)")
+    p.add_argument("--cf-n", type=int, default=0,
+                   help="CFR-ICL cascade-forward refinement count "
+                        "(evaluate_vpumodel.py:162, run_evaluate_vpu.sh)")
+    p.add_argument("--cf-click", type=int, default=1,
+                   help="apply the cascade only for the first K clicks")
+    p.add_argument("--acf", action="store_true",
+                   help="adaptive cascade: stop refining when <20 px change")
+    p.add_argument("--clicks-limit", type=int, default=None,
+                   help="feed only the first K clicks to the network "
+                        "(-1 = n-clicks; evaluate_vpumodel.py:167-170)")
+    p.add_argument("--eval-ritm", action="store_true",
+                   help="RITM eval protocol: zoom-in target 400 (600 for "
+                        "DAVIS), skip_clicks=1 (evaluate_vpumodel.py:"
+                        "173-185)")
+    p.add_argument("--model-name", default=None,
+                   help="label printed in the results-table header")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (the image pins JAX_PLATFORMS, "
+                        "so an env var alone doesn't stick)")
     p.add_argument("--datasets", default="GrabCut,Berkeley,SBD,DAVIS,"
                                          "PascalVOC,COCO_MVal")
     p.add_argument("--n-clicks", type=int, default=20)
@@ -102,6 +127,27 @@ DATASET_PATH_KEYS = {
 }
 
 
+def resolve_exp_checkpoint(args) -> str:
+    """'rel/exp[:prefix]' -> newest <EXPS_PATH>/rel/exp*/checkpoints/prefix*
+    (.npz / orbax dir), mirroring get_checkpoints_list_and_logs_path
+    (evaluate_vpumodel.py:211-232)."""
+    from pvpuformer_tpu.utils.exp import load_config_file
+
+    root = Path(__file__).resolve().parent.parent
+    cfg_path = args.config_path or (root / "config.yml")
+    paths = load_config_file(cfg_path) if Path(cfg_path).exists() else {}
+    exps = Path(paths.get("EXPS_PATH", root / "experiments"))
+
+    rel, _, prefix = args.exp_path.partition(":")
+    target = exps / rel
+    candidates = sorted(target.parent.glob(target.name + "*"))
+    assert candidates, f"no experiment matches {target}*"
+    ckpts = sorted((candidates[-1] / "checkpoints").glob(
+        (prefix or "") + "*.npz"), reverse=True)
+    assert ckpts, f"no checkpoints under {candidates[-1]}/checkpoints"
+    return str(ckpts[0])
+
+
 def build_model(args):
     import jax
     import jax.numpy as jnp
@@ -109,6 +155,8 @@ def build_model(args):
     from pvpuformer_tpu.utils.serialization import load_checkpoint
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.exp_path and not args.checkpoint:
+        args.checkpoint = resolve_exp_checkpoint(args)
     if args.checkpoint:
         params, cfg, _, _ = load_checkpoint(args.checkpoint)
         mcfg = cfg.model if hasattr(cfg, "model") else cfg
@@ -139,6 +187,11 @@ def maybe_interp_pos_embed(params, mcfg, crop):
 
 def main() -> None:
     args = parse_args()
+    if args.platform:
+        import os
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     from pvpuformer_tpu.inference.datasets import get_dataset
     from pvpuformer_tpu.inference.evaluation import (
         compute_noc_metric, evaluate_dataset, get_results_table,
@@ -197,18 +250,31 @@ def main() -> None:
             # (evaluate_vpumodel.py:188-202); "cvpr" keeps them.
             default_crop = tuple(mcfg.backbone.img_size) \
                 if hasattr(mcfg, "backbone") else (448, 448)
+            skip_clicks = -1
             if args.eval_mode.startswith("fixed"):
                 sizes = args.eval_mode.split(",")
                 ch = int(sizes[0][5:])
                 cw = int(sizes[1]) if len(sizes) == 2 else ch
                 crop = (ch, cw)
+            elif args.eval_ritm:
+                # RITM protocol (evaluate_vpumodel.py:173-185 + the RITM
+                # ZoomIn default skip_clicks=1, zoom_in.py:12)
+                crop = (600, 600) if name == "DAVIS" else (400, 400)
+                skip_clicks = 1
             else:
                 crop = DATASET_ZOOM.get(name, default_crop)
+            clicks_limit = args.clicks_limit
+            if clicks_limit == -1:
+                clicks_limit = args.n_clicks
             ds_params, ds_mcfg = maybe_interp_pos_embed(params, mcfg, crop)
             pcfg = PredictorConfig(model=ds_mcfg, target_size=crop,
                                    with_flip=True, prob_thresh=args.thresh,
-                                   skip_clicks=-1,
-                                   prompt_mode=args.prompt_mode)
+                                   skip_clicks=skip_clicks,
+                                   prompt_mode=args.prompt_mode,
+                                   cascade_step=args.cf_n + 1,
+                                   cascade_adaptive=args.acf,
+                                   cascade_clicks=args.cf_click,
+                                   net_clicks_limit=clicks_limit)
             if args.mode.lower() == "nobrs":
                 predictor = Predictor(ds_params, pcfg)
             else:
@@ -264,7 +330,8 @@ def main() -> None:
             all_ious, iou_thrs=[0.8, 0.85, 0.9, 0.95],
             max_clicks=args.n_clicks)
         header, row = get_results_table(noc, over_max, args.mode, name,
-                                        mean_spc, elapsed, args.n_clicks)
+                                        mean_spc, elapsed, args.n_clicks,
+                                        model_name=args.model_name)
         print(header)
         print(row)
         print(f"SPI: {mean_spi:.3f}s per instance")

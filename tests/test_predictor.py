@@ -303,3 +303,39 @@ def test_cfr_cascade_forward():
         i2 = pred.next_click()
         i3 = pred.next_click()   # beyond cascade_clicks -> single forward
         assert np.isfinite([i1, i2, i3]).all()
+
+
+def test_net_clicks_limit_truncates_net_input():
+    """net_clicks_limit=K feeds only the first K clicks to the network
+    (base.py:200-205): K = total clicks is a no-op (bit-equal probs);
+    K=1 diverges from unlimited after the second click while the click
+    sequence itself (driven by the full state) stays intact."""
+    mcfg = tiny_cfg()
+    params = init_vpu(jax.random.PRNGKey(0), mcfg)
+    ds = SyntheticDataset(1, hw=(60, 90))
+    s = ds.get_sample(0)
+
+    def run(limit, n_clicks=3):
+        cfg = PredictorConfig(model=mcfg, target_size=(64, 64),
+                              canvas_bucket=32, net_clicks_limit=limit)
+        p = Predictor(params, cfg)
+        p.set_input(s.image, s.gt_mask(0))
+        probs = []
+        for _ in range(n_clicks):
+            p.next_click()
+            probs.append(p.probs.copy())
+        return np.asarray(p.state.points[0]), probs
+
+    pts_none, probs_none = run(None)
+    pts_all, probs_all = run(3)
+    np.testing.assert_array_equal(pts_none, pts_all)
+    for a, b in zip(probs_none, probs_all):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    pts_one, probs_one = run(1)
+    # click 1 identical; later rounds see a truncated net input
+    np.testing.assert_array_equal(np.asarray(probs_none[0]),
+                                  np.asarray(probs_one[0]))
+    assert np.any(np.asarray(probs_none[-1]) != np.asarray(probs_one[-1]))
+    # the session still accumulated 3 clicks (state is not truncated)
+    assert np.sum(pts_one[:, 2] >= 0) == 3
