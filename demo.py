@@ -116,6 +116,10 @@ def parse_args():
     p.add_argument("--prob-thresh", type=float, default=0.5)
     p.add_argument("--brs-mode", default="NoBRS", choices=BRS_MODES)
     p.add_argument("--target-size", type=int, default=448)
+    p.add_argument("--limit-longest-size", type=int, default=800,
+                   help="host-resize larger images down before the session "
+                        "(reference demo.py --limit-longest-size, "
+                        "transforms/limit_longest_side.py); 0 disables")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     return p.parse_args()
@@ -140,7 +144,8 @@ def build_controller(args):
     ts = mcfg.backbone.img_size if hasattr(mcfg, "backbone") \
         else (args.target_size, args.target_size)
     pcfg = PredictorConfig(model=mcfg, target_size=ts,
-                           prob_thresh=0.49)
+                           prob_thresh=0.49,
+                           limit_longest_side=args.limit_longest_size)
     return InteractiveController(params, pcfg, prob_thresh=args.prob_thresh,
                                  brs_mode=args.brs_mode)
 

@@ -84,6 +84,9 @@ def main(cfg):
                         eps=1e-8, milestones=MILESTONES, gamma=0.1,
                         steps_per_epoch=len(train_loader),
                         layerwise_decay=cfg.get("layerwise_decay", False))
+    if cfg.get("accumulate_grad", 1) > 1:
+        from pvpuformer_tpu.engine.optimizer import with_grad_accumulation
+        tx = with_grad_accumulation(tx, cfg.accumulate_grad)
 
     mesh = make_mesh(model_parallel=cfg.get("model_parallel", 1))
     trainer = Trainer(params, tcfg, tx, train_loader, val_loader,

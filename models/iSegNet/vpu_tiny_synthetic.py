@@ -58,6 +58,9 @@ def main(cfg):
     tx = make_optimizer(params, "adam", lr=1e-3,
                         milestones=(1,), gamma=0.5,
                         steps_per_epoch=len(loader))
+    if cfg.get("accumulate_grad", 1) > 1:
+        from pvpuformer_tpu.engine.optimizer import with_grad_accumulation
+        tx = with_grad_accumulation(tx, cfg.accumulate_grad)
     trainer = Trainer(params, tcfg, tx, loader,
                       checkpoint_dir=cfg.CHECKPOINTS_PATH,
                       checkpoint_interval=1, metrics=[AdaptiveIoU()])

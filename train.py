@@ -42,6 +42,10 @@ def parse_args():
                    choices=["replicated", "fsdp", "tp", "tp+fsdp"])
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--accumulate-grad", type=int, default=1,
+                   help="apply the optimizer every K steps, averaging "
+                        "gradients in between (reference train.py "
+                        "--accumulate-grad / trainer.py:188-202)")
     p.add_argument("--debug", action="store_true", help="1 epoch smoke run")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (the image pins JAX_PLATFORMS, "
