@@ -122,53 +122,69 @@ def set_cc_default_impl(impl: str) -> None:
 
 def connected_regions_mask(mask: jnp.ndarray, keep_frac: float = 0.1,
                            iters: int = 8,
-                           impl: str | None = None) -> jnp.ndarray:
+                           impl: str | None = None,
+                           compact_cap: int = 256) -> jnp.ndarray:
     """max_connected_regions (trainer.py:1175-1190): the largest 8-connected
     component, unioned with every component covering > keep_frac of the
     foreground. (H, W) bool -> (H, W) bool.
 
-    Both impls share the histogram of component sizes (a scatter-add; no
-    faster exact formulation found on TPU — sort+searchsorted measured 16x
-    worse). They differ in how per-pixel component size is read back:
-
-    * "xla": gather `sizes[lab]` — 200k random gathers, ~1.6 ms/mask on v5e.
-    * "pallas": exploit that a component's label IS its representative
-      pixel's flat index + 1, so `sizes[1:].reshape(h, w)` aligns each
-      rep's bin with its own pixel position (elementwise, no gather). The
-      keep decision is made at the reps only, then broadcast to whole
-      components by flooding `keep_rep ? lab : 0` with the same VMEM
-      propagation kernel and comparing against `lab` (ops/cc_pallas.py
-      component_max_pallas) — ~1.4 ms for a full b8 batch.
+    * "xla": histogram of component sizes by scatter-add into H*W+1 bins,
+      then a `sizes[lab]` gather — simple, and the reference formulation.
+    * "pallas" ("auto" on TPU): scatter/gather-free compact-rank scheme.
+      A component's label is its representative pixel's flat index + 1
+      (the rep is where `lab == own index`). Reps are ranked 1..K in
+      row-major order (a cumsum, order-preserving in label), the rank is
+      flooded over each component with the VMEM propagation kernel
+      (ops/cc_pallas.component_max_pallas), and both the size histogram
+      and the final keep decision become dense compare-reduces against
+      `arange(compact_cap)` — no scatter, no gather. Exact while the mask
+      has <= compact_cap components; a `lax.cond` falls back to the
+      scatter path above otherwise (rank order == label order, so the
+      largest-component tie-break — first max, smallest label — is
+      identical in both branches).
 
     impl None defers to the cc_labels default ("auto": pallas on TPU)."""
     h, w = mask.shape
     lab = cc_labels(mask, iters, impl=impl)
-    sizes = jnp.zeros((h * w + 1,), jnp.int32).at[lab.reshape(-1)].add(
-        mask.reshape(-1).astype(jnp.int32))
-    sizes = sizes.at[0].set(0)
-    largest = jnp.argmax(sizes)                # smallest label among ties
     total = jnp.sum(mask).astype(jnp.float32)
+
+    def _scatter_keep():
+        sizes = jnp.zeros((h * w + 1,), jnp.int32).at[lab.reshape(-1)].add(
+            mask.reshape(-1).astype(jnp.int32))
+        sizes = sizes.at[0].set(0)
+        largest = jnp.argmax(sizes)            # smallest label among ties
+        comp_size = sizes[lab].astype(jnp.float32)
+        return mask & ((lab == largest) | (comp_size > keep_frac * total))
 
     impl = impl or _CC_DEFAULT_IMPL
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from ..ops.cc_pallas import component_max_pallas
+        interp = jax.default_backend() != "tpu"
         idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
         rep = mask & (lab == idx)
-        sizes_img = sizes[1:].reshape(h, w)    # bin of the rep AT the rep
-        keep_rep = rep & ((lab == largest) |
-                          (sizes_img.astype(jnp.float32) > keep_frac * total))
-        seed = jnp.where(keep_rep, lab, 0)
-        flood = component_max_pallas(mask[None], seed[None],
-                                     iters=iters,
-                                     interpret=jax.default_backend() != "tpu"
-                                     )[0]
-        return mask & (flood == lab)
+        n_reps = jnp.sum(rep.astype(jnp.int32))
 
-    comp_size = sizes[lab].astype(jnp.float32)
-    keep = mask & ((lab == largest) | (comp_size > keep_frac * total))
-    return keep
+        def _compact_keep():
+            rank = jnp.cumsum(rep.reshape(-1).astype(jnp.int32)).reshape(h, w)
+            seed = jnp.where(rep, rank, 0)
+            rank_img = component_max_pallas(mask[None], seed[None],
+                                            iters=iters, interpret=interp)[0]
+            ids = jnp.arange(1, compact_cap + 1, dtype=jnp.int32)
+            sizes = jnp.sum((rank_img[:, :, None] == ids) & mask[:, :, None],
+                            axis=(0, 1), dtype=jnp.int32)       # (cap,)
+            largest = jnp.argmax(sizes).astype(jnp.int32) + 1   # first max ==
+            keepk = (ids == largest) | \
+                (sizes.astype(jnp.float32) > keep_frac * total)
+            keep = jnp.any((rank_img[:, :, None] == ids) &
+                           keepk[None, None, :], axis=-1)
+            return mask & keep
+
+        return jax.lax.cond(n_reps <= compact_cap,
+                            _compact_keep, _scatter_keep)
+
+    return _scatter_keep()
 
 
 # ---------------------------------------------------------------------------

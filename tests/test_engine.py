@@ -62,6 +62,21 @@ def test_connected_regions_empty(impl):
         PS.connected_regions_mask(jnp.asarray(m), impl=impl)).any()
 
 
+def test_connected_regions_compact_cap_fallback():
+    """More components than compact_cap must take the lax.cond scatter
+    fallback and still match the oracle exactly (and the default cap)."""
+    m = np.zeros((24, 48), bool)
+    m[2:6, 2:6] = True                 # dominant component
+    for r in range(10, 22, 3):         # 4 x 12 = 48 isolated speckles
+        for c in range(2, 48, 4):
+            m[r, c] = True
+    for cap in (4, 256):               # 49 comps: 4 -> fallback, 256 -> fast
+        got = np.asarray(PS.connected_regions_mask(
+            jnp.asarray(m), impl="pallas", compact_cap=cap))
+        np.testing.assert_array_equal(got, cc_keep_oracle(m),
+                                      err_msg=f"cap={cap}")
+
+
 def test_connected_regions_size_ties_match_across_impls():
     """Two equal-max-size components among many speckles (each <=10% of the
     foreground): both impls must break the largest-component tie the same
