@@ -120,71 +120,97 @@ def set_cc_default_impl(impl: str) -> None:
     _CC_DEFAULT_IMPL = impl
 
 
+def _scatter_keep_one(mask: jnp.ndarray, lab: jnp.ndarray,
+                      keep_frac: float) -> jnp.ndarray:
+    """Reference formulation: size histogram by scatter-add into H*W+1
+    label bins, `sizes[lab]` gather, keep = largest | > keep_frac."""
+    h, w = mask.shape
+    total = jnp.sum(mask).astype(jnp.float32)
+    sizes = jnp.zeros((h * w + 1,), jnp.int32).at[lab.reshape(-1)].add(
+        mask.reshape(-1).astype(jnp.int32))
+    sizes = sizes.at[0].set(0)
+    largest = jnp.argmax(sizes)                # smallest label among ties
+    comp_size = sizes[lab].astype(jnp.float32)
+    return mask & ((lab == largest) | (comp_size > keep_frac * total))
+
+
+def connected_regions_mask_batch(masks: jnp.ndarray, keep_frac: float = 0.1,
+                                 iters: int = 8, impl: str | None = None,
+                                 compact_cap: int = 256) -> jnp.ndarray:
+    """Batched max_connected_regions (trainer.py:1175-1190): per sample, the
+    largest 8-connected component unioned with every component covering
+    > keep_frac of the foreground. (B, H, W) bool -> (B, H, W) bool.
+
+    * "xla": per-sample scatter-add size histogram + `sizes[lab]` gather —
+      the reference formulation.
+    * "pallas" ("auto" on TPU): scatter/gather-free compact-rank scheme.
+      A component's label is its representative pixel's flat index + 1
+      (the rep is where `lab == own index`). Reps are ranked 1..K in
+      row-major order (a per-sample cumsum, order-preserving in label),
+      the rank is flooded over each component with the VMEM propagation
+      kernel (ops/cc_pallas.component_max_pallas), and both the size
+      histogram and the final keep decision become dense compare-reduces
+      against `arange(compact_cap)` — no scatter, no gather. Exact while
+      every sample has <= compact_cap components; a `lax.cond` falls back
+      to the scatter path otherwise. The predicate is the BATCH max, so
+      the cond stays scalar (a vmapped per-sample cond would lower to
+      select and execute both branches). Rank order == label order, so
+      the largest-component tie-break (first max = smallest label) is
+      identical in both branches.
+
+    impl None defers to the cc_labels default ("auto": pallas on TPU)."""
+    b, h, w = masks.shape
+    impl = impl or _CC_DEFAULT_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def scatter_batch(labs):
+        return jax.vmap(lambda m, l: _scatter_keep_one(m, l, keep_frac)
+                        )(masks, labs)
+
+    if impl != "pallas":
+        labs = jax.vmap(lambda m: cc_labels(m, iters, impl=impl))(masks)
+        return scatter_batch(labs)
+
+    from ..ops.cc_pallas import cc_labels_pallas, component_max_pallas
+    interp = jax.default_backend() != "tpu"
+    labs = cc_labels_pallas(masks, iters=iters, interpret=interp)
+    idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    rep = masks & (labs == idx[None])
+    n_max = jnp.max(jnp.sum(rep.astype(jnp.int32), axis=(1, 2)))
+
+    def compact_batch():
+        rank = jnp.cumsum(rep.reshape(b, -1).astype(jnp.int32),
+                          axis=-1).reshape(b, h, w)
+        seed = jnp.where(rep, rank, 0)
+        rank_img = component_max_pallas(masks, seed, iters=iters,
+                                        interpret=interp)      # (B, H, W)
+        ids = jnp.arange(1, compact_cap + 1, dtype=jnp.int32)
+        sizes = jnp.sum((rank_img[..., None] == ids) & masks[..., None],
+                        axis=(1, 2), dtype=jnp.int32)          # (B, cap)
+        largest = jnp.argmax(sizes, axis=-1).astype(jnp.int32) + 1
+        total = jnp.sum(masks, axis=(1, 2)).astype(jnp.float32)
+        keepk = (ids[None] == largest[:, None]) | \
+            (sizes.astype(jnp.float32) > keep_frac * total[:, None])
+        keep = jnp.any((rank_img[..., None] == ids[None, None, None]) &
+                       keepk[:, None, None, :], axis=-1)
+        return masks & keep
+
+    return jax.lax.cond(n_max <= compact_cap,
+                        compact_batch, lambda: scatter_batch(labs))
+
+
 def connected_regions_mask(mask: jnp.ndarray, keep_frac: float = 0.1,
                            iters: int = 8,
                            impl: str | None = None,
                            compact_cap: int = 256) -> jnp.ndarray:
-    """max_connected_regions (trainer.py:1175-1190): the largest 8-connected
-    component, unioned with every component covering > keep_frac of the
-    foreground. (H, W) bool -> (H, W) bool.
-
-    * "xla": histogram of component sizes by scatter-add into H*W+1 bins,
-      then a `sizes[lab]` gather — simple, and the reference formulation.
-    * "pallas" ("auto" on TPU): scatter/gather-free compact-rank scheme.
-      A component's label is its representative pixel's flat index + 1
-      (the rep is where `lab == own index`). Reps are ranked 1..K in
-      row-major order (a cumsum, order-preserving in label), the rank is
-      flooded over each component with the VMEM propagation kernel
-      (ops/cc_pallas.component_max_pallas), and both the size histogram
-      and the final keep decision become dense compare-reduces against
-      `arange(compact_cap)` — no scatter, no gather. Exact while the mask
-      has <= compact_cap components; a `lax.cond` falls back to the
-      scatter path above otherwise (rank order == label order, so the
-      largest-component tie-break — first max, smallest label — is
-      identical in both branches).
-
-    impl None defers to the cc_labels default ("auto": pallas on TPU)."""
-    h, w = mask.shape
-    lab = cc_labels(mask, iters, impl=impl)
-    total = jnp.sum(mask).astype(jnp.float32)
-
-    def _scatter_keep():
-        sizes = jnp.zeros((h * w + 1,), jnp.int32).at[lab.reshape(-1)].add(
-            mask.reshape(-1).astype(jnp.int32))
-        sizes = sizes.at[0].set(0)
-        largest = jnp.argmax(sizes)            # smallest label among ties
-        comp_size = sizes[lab].astype(jnp.float32)
-        return mask & ((lab == largest) | (comp_size > keep_frac * total))
-
-    impl = impl or _CC_DEFAULT_IMPL
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
-        from ..ops.cc_pallas import component_max_pallas
-        interp = jax.default_backend() != "tpu"
-        idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
-        rep = mask & (lab == idx)
-        n_reps = jnp.sum(rep.astype(jnp.int32))
-
-        def _compact_keep():
-            rank = jnp.cumsum(rep.reshape(-1).astype(jnp.int32)).reshape(h, w)
-            seed = jnp.where(rep, rank, 0)
-            rank_img = component_max_pallas(mask[None], seed[None],
-                                            iters=iters, interpret=interp)[0]
-            ids = jnp.arange(1, compact_cap + 1, dtype=jnp.int32)
-            sizes = jnp.sum((rank_img[:, :, None] == ids) & mask[:, :, None],
-                            axis=(0, 1), dtype=jnp.int32)       # (cap,)
-            largest = jnp.argmax(sizes).astype(jnp.int32) + 1   # first max ==
-            keepk = (ids == largest) | \
-                (sizes.astype(jnp.float32) > keep_frac * total)
-            keep = jnp.any((rank_img[:, :, None] == ids) &
-                           keepk[None, None, :], axis=-1)
-            return mask & keep
-
-        return jax.lax.cond(n_reps <= compact_cap,
-                            _compact_keep, _scatter_keep)
-
-    return _scatter_keep()
+    """Single-mask convenience wrapper over connected_regions_mask_batch
+    ((H, W) bool -> (H, W) bool). NB under jax.vmap this wrapper still
+    works but degrades: the fallback cond's predicate becomes batched and
+    lowers to select (both branches execute) — batch callers should use
+    connected_regions_mask_batch directly."""
+    return connected_regions_mask_batch(mask[None], keep_frac, iters, impl,
+                                        compact_cap)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -288,21 +314,11 @@ def _bbox(mask: jnp.ndarray):
     return y0, y1, x0, x1
 
 
-def _synth_box_one(gt: jnp.ndarray, fn: jnp.ndarray, fp: jnp.ndarray,
-                   orders: jnp.ndarray, key: jax.Array, n: int,
-                   as_allmask: bool, jitter: bool, set_offset: int,
+def _synth_box_one(mask: jnp.ndarray, loc: jnp.ndarray, key: jax.Array,
+                   jitter: bool, set_offset: int,
                    h: int, w: int) -> jnp.ndarray:
-    if as_allmask:
-        mask = gt > 0.5
-        loc = _first_free_slot(orders[:n], n - 1)
-    else:
-        is_positive = jnp.sum(fn) > jnp.sum(fp)
-        err = jnp.where(is_positive, fn, fp)
-        mask = connected_regions_mask(err)
-        loc_pos = jnp.int32(n - 1)        # reference hardcodes this (1087)
-        loc_neg = _first_free_slot(orders[n:], n - 1) + n
-        loc = jnp.where(is_positive, loc_pos, loc_neg)
-
+    """Bbox + jitter of a precomputed region mask; the connected-component
+    selection runs batched in synth_boxes (connected_regions_mask_batch)."""
     nonempty = jnp.any(mask)
     y0, y1, x0, x1 = _bbox(mask)
 
@@ -337,19 +353,30 @@ def synth_boxes(gt: jnp.ndarray, fn: jnp.ndarray, fp: jnp.ndarray,
     n = twon // 2
     h, w = gt.shape[1], gt.shape[2]
     keys = jax.random.split(key, b)
+    orders = points[:, :, 2]
+    if as_allmask:
+        masks = gt > 0.5
+        locs = jax.vmap(lambda o: _first_free_slot(o[:n], n - 1))(orders)
+    else:
+        is_positive = jnp.sum(fn, axis=(1, 2)) > jnp.sum(fp, axis=(1, 2))
+        err = jnp.where(is_positive[:, None, None], fn, fp)
+        masks = connected_regions_mask_batch(err)
+        loc_pos = jnp.int32(n - 1)        # reference hardcodes this (1087)
+        loc_neg = jax.vmap(lambda o: _first_free_slot(o[n:], n - 1))(orders) + n
+        locs = jnp.where(is_positive, loc_pos, loc_neg)
     return jax.vmap(
-        lambda g, f1, f2, o, k: _synth_box_one(
-            g, f1, f2, o, k, n, as_allmask, jitter, set_offset, h, w)
-    )(gt, fn, fp, points[:, :, 2], keys)
+        lambda m, l, k: _synth_box_one(m, l, k, jitter, set_offset, h, w)
+    )(masks, locs, keys)
 
 
 # ---------------------------------------------------------------------------
 # scribble synthesis on device (cal_scribble, trainer.py:1192-1243)
 # ---------------------------------------------------------------------------
 
-def _synth_scribble_one(gt: jnp.ndarray, key: jax.Array, num_ctrl: int,
+def _synth_scribble_one(mask: jnp.ndarray, key: jax.Array, num_ctrl: int,
                         num_samples: int, bernstein: jnp.ndarray):
-    """One on-device scribble draw from a gt mask.
+    """One on-device scribble draw from a precomputed region mask (the
+    connected-component selection runs batched in synth_scribbles).
 
     Matches cal_scribble's spec — control points sampled row-wise inside the
     largest connected region, a Bezier through them, samples clipped to the
@@ -359,7 +386,6 @@ def _synth_scribble_one(gt: jnp.ndarray, key: jax.Array, num_ctrl: int,
     randint(3,10)), rows with no mask pixels reuse the previous valid point
     (reference skips them), and the curve is always a Bezier (the reference
     coin-flips to a B-spline, trainer.py:1227)."""
-    mask = connected_regions_mask(gt > 0.5)
     nonempty = jnp.any(mask)
     y0, y1, x0, x1 = _bbox(mask)          # rows y, cols x
 
@@ -421,8 +447,9 @@ def synth_scribbles(gt: jnp.ndarray, key: jax.Array, num_ctrl: int = 10,
     b = gt.shape[0]
     bern = bernstein_matrix(num_ctrl, num_samples)
     keys = jax.random.split(key, b)
-    return jax.vmap(lambda g, k: _synth_scribble_one(
-        g, k, num_ctrl, num_samples, bern))(gt, keys)
+    masks = connected_regions_mask_batch(gt > 0.5)
+    return jax.vmap(lambda m, k: _synth_scribble_one(
+        m, k, num_ctrl, num_samples, bern))(masks, keys)
 
 
 # ---------------------------------------------------------------------------
