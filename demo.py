@@ -120,6 +120,9 @@ def parse_args():
                    help="host-resize larger images down before the session "
                         "(reference demo.py --limit-longest-size, "
                         "transforms/limit_longest_side.py); 0 disables")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (the image pins JAX_PLATFORMS, "
+                        "so an env var alone doesn't stick)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     return p.parse_args()
@@ -314,6 +317,11 @@ def gui(controller, args) -> None:
 
 def main() -> None:
     args = parse_args()
+    if args.platform:
+        import os
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     controller = build_controller(args)
     if args.image:
         controller.set_image(load_image(args.image))

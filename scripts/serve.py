@@ -32,6 +32,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import sys
 import threading
 import uuid
@@ -203,12 +204,20 @@ def main() -> None:
     p.add_argument("--brs-mode", default="NoBRS")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (the image pins JAX_PLATFORMS, "
+                        "so an env var alone doesn't stick)")
     args = p.parse_args()
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     import demo as demo_mod
     args.image = None
     args.gui = False
     args.target_size = 448
+    args.limit_longest_size = 800
 
     def make_controller():
         return demo_mod.build_controller(args)

@@ -70,7 +70,7 @@ def test_sam_comparison_cli(tmp_path):
     env["PYTHONPATH"] = str(tmp_path / "stub") + os.pathsep + \
         env.get("PYTHONPATH", "")
     r = subprocess.run(
-        [sys.executable, "scripts/evaluate.py", "SAM",
+        [sys.executable, "scripts/evaluate.py", "SAM", "--platform", "cpu",
          "--sam-checkpoint", "weights/sam_vit_b_01ec64.pth",
          "--datasets", "Synthetic", "--n-clicks", "3", "--limit", "2",
          "--print-ious", "--logs-path", str(tmp_path / "logs")],
@@ -93,8 +93,12 @@ def test_train_then_evaluate_cli(tmp_path):
     ckpt = exps[-1] / "checkpoints" / "last_checkpoint.npz"
     assert ckpt.exists(), "checkpoint missing"
 
-    # 2. evaluate that checkpoint on the synthetic dataset
-    r = run(["scripts/evaluate.py", "NoBRS", "--checkpoint", str(ckpt),
+    # 2. evaluate that checkpoint on the synthetic dataset. --platform cpu
+    # is load-bearing: the image's sitecustomize re-pins JAX_PLATFORMS to
+    # axon, so the env var in run() alone does not stick, and without it
+    # this subprocess hangs whenever the TPU tunnel is wedged.
+    r = run(["scripts/evaluate.py", "NoBRS", "--platform", "cpu",
+             "--checkpoint", str(ckpt),
              "--datasets", "Synthetic", "--n-clicks", "2", "--limit", "1",
              "--print-ious", "--save-ious",
              "--logs-path", str(tmp_path / "logs")])
