@@ -167,6 +167,16 @@ def main() -> None:
     set_cc_default_impl("pallas")
     section("synth_boxes (pallas cc):", boxes,
             (batch["instances"], batch["points"]))
+
+    from pvpuformer_tpu.engine.prompt_sim import connected_regions_mask_batch
+
+    def keep_batch(c, m, impl):
+        return jnp.sum(connected_regions_mask_batch(
+            (m + c) > 0.5, impl=impl).astype(jnp.float32))
+    section(f"cc keep b{b} (xla scatter):",
+            lambda c, m: keep_batch(c, m, "xla"), (jnp.asarray(gt[..., 0]),))
+    section(f"cc keep b{b} (pallas compact):",
+            lambda c, m: keep_batch(c, m, "pallas"), (jnp.asarray(gt[..., 0]),))
     for ni in [1, 2, 3]:
         def stepp(c, params, batch, key, ni=ni):
             bb = dict(batch)
