@@ -937,12 +937,16 @@ def test_clip_text_encoder_matches_reference(ref_path):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
-def test_click_protocol_matches_reference_eval_loop(ref_path):
+@pytest.mark.parametrize("net_limit", [None, 2])
+def test_click_protocol_matches_reference_eval_loop(ref_path, net_limit):
     """End-to-end interactive protocol parity (vpu_evaluation.py:35-98,
     predictors/base.py:106-177, clicker.py:6-118, zoom_in.py:9-112 vs our
     predictor.click_scan + evaluation.evaluate_sample). as_prompt_type=0
     (the shipped protocol); with_flip=True; ZoomIn skip_clicks=-1,
-    target 224 (the 'cvpr' eval mode scaled to the test crop)."""
+    target 224 (the 'cvpr' eval mode scaled to the test crop).
+    net_limit=2 additionally pins the --clicks-limit truncation
+    (net_clicks_limit, base.py:200-205: only the first K clicks reach the
+    network while the clicker keeps accumulating)."""
     from isegm.model.is_vpu_model import VitMultiGaussianVector_ed_Model
     from isegm.model.modeling.transformer_helper.cross_entropy_loss import \
         CrossEntropyLoss
@@ -985,11 +989,12 @@ def test_click_protocol_matches_reference_eval_loop(ref_path):
     params = convert_vpu_checkpoint(_sd(ref_model), cfg)
 
     pcfg = PredictorConfig(model=cfg, target_size=crop, with_flip=True,
-                           skip_clicks=-1, min_crop_size=200)
+                           skip_clicks=-1, min_crop_size=200,
+                           net_clicks_limit=net_limit)
     ours = Predictor(params, pcfg)
 
     max_clicks = 4
-    for seed in range(3):
+    for seed in range(3 if net_limit is None else 1):
         r = np.random.default_rng(seed)
         h, w = 96, 128
         image = (r.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
@@ -1001,7 +1006,7 @@ def test_click_protocol_matches_reference_eval_loop(ref_path):
 
         zoom_in = ZoomIn(skip_clicks=-1, target_size=crop)
         ref_pred = BasePredictor(ref_model, "cpu", zoom_in=zoom_in,
-                                 with_flip=True)
+                                 with_flip=True, net_clicks_limit=net_limit)
         ref_clicks, ref_ious, _ = ref_eval(image, gt, ref_pred,
                                            max_iou_thr=2.0,
                                            max_clicks=max_clicks)
