@@ -30,6 +30,15 @@ MEASURE = 10
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true",
+                    help="A/B switch: PTQ all linears to int8 "
+                         "(nn.quantize_params) before the run; the metric "
+                         "name gains an _int8 suffix")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +51,11 @@ def main() -> None:
     platform = jax.devices()[0].platform
     mcfg = vpu_base_config(dtype=jnp.bfloat16)
     params = cast_params(init_vpu(jax.random.key(0), mcfg), jnp.bfloat16)
+    suffix = ""
+    if args.int8:
+        from pvpuformer_tpu.nn import quantize_params
+        params = quantize_params(params)
+        suffix = "_int8"
     pcfg = PredictorConfig(model=mcfg, target_size=(448, 448), with_flip=True)
 
     rng = np.random.default_rng(0)
@@ -75,7 +89,7 @@ def main() -> None:
 
     p50 = float(np.percentile(per_click_ms, 50))
     print(json.dumps({
-        "metric": f"p50_per_click_latency_ms_vitb448_{platform}",
+        "metric": f"p50_per_click_latency_ms_vitb448_{platform}{suffix}",
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / p50, 3),

@@ -115,6 +115,8 @@ def parse_args():
     p.add_argument("--gui", action="store_true")
     p.add_argument("--prob-thresh", type=float, default=0.5)
     p.add_argument("--brs-mode", default="NoBRS", choices=BRS_MODES)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ serving path (NoBRS only)")
     p.add_argument("--target-size", type=int, default=448)
     p.add_argument("--limit-longest-size", type=int, default=800,
                    help="host-resize larger images down before the session "
@@ -150,7 +152,8 @@ def build_controller(args):
                            prob_thresh=0.49,
                            limit_longest_side=args.limit_longest_size)
     return InteractiveController(params, pcfg, prob_thresh=args.prob_thresh,
-                                 brs_mode=args.brs_mode)
+                                 brs_mode=args.brs_mode,
+                                 int8=getattr(args, "int8", False))
 
 
 def load_image(path) -> np.ndarray:

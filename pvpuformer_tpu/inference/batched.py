@@ -50,9 +50,12 @@ class BatchedEvaluator:
     """
 
     def __init__(self, params, cfg: PredictorConfig, batch_size: int = 8,
-                 mesh=None):
+                 mesh=None, int8: bool = False):
         from ..nn import cast_params
         self.params = cast_params(params, cfg.model.dtype)
+        if int8:
+            from ..nn import quantize_params
+            self.params = quantize_params(self.params)
         self.cfg = cfg
         self.batch_size = batch_size
         self.mesh = mesh

@@ -637,7 +637,7 @@ class InputBRSPredictor(FeatureBRSPredictor):
 
 
 def get_predictor(params, cfg: PredictorConfig, brs_mode: str = "NoBRS",
-                  **brs_kwargs):
+                  int8: bool = False, **brs_kwargs):
     """predictors/__init__.py:9-99 equivalent factory — all six reference
     modes: NoBRS, f-BRS-A/B/C, RGB-BRS, DistMap-BRS.
 
@@ -652,7 +652,9 @@ def get_predictor(params, cfg: PredictorConfig, brs_mode: str = "NoBRS",
     from ..models.zoo.deeplab import DeeplabISConfig
     mode = brs_mode.lower()
     if mode == "nobrs":
-        return Predictor(params, cfg)
+        return Predictor(params, cfg, int8=int8)
+    assert not int8, ("int8 PTQ is NoBRS-only: BRS optimizes through the "
+                      "forward's gradient, which int8 rounding destroys")
     letter = {"f-brs-a": "a", "f-brs": "a", "f-brs-b": "b",
               "f-brs-c": "c"}.get(mode)
     if letter is not None:

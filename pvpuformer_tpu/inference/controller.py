@@ -37,11 +37,12 @@ class InteractiveController:
 
     def __init__(self, params, cfg: PredictorConfig,
                  prob_thresh: float = 0.5, predictor=None,
-                 brs_mode: str = "NoBRS"):
+                 brs_mode: str = "NoBRS", int8: bool = False):
         self.params = params
         self.cfg = cfg
         self.prob_thresh = prob_thresh
         self.brs_mode = brs_mode
+        self.int8 = int8
         self.predictor = predictor or self._build_predictor(brs_mode)
         self.image: Optional[np.ndarray] = None
         self._init_mask: Optional[np.ndarray] = None
@@ -53,7 +54,8 @@ class InteractiveController:
 
     def _build_predictor(self, brs_mode: str):
         from .brs import get_predictor
-        return get_predictor(self.params, self.cfg, brs_mode=brs_mode)
+        return get_predictor(self.params, self.cfg, brs_mode=brs_mode,
+                             int8=self.int8 and brs_mode.lower() == "nobrs")
 
     # ---------------------------------------------------------------- session
 

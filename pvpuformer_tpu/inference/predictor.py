@@ -402,10 +402,15 @@ class Predictor:
     (interactive_demo/controller.py:48-100) headlessly.
     """
 
-    def __init__(self, params, cfg: PredictorConfig):
+    def __init__(self, params, cfg: PredictorConfig, int8: bool = False):
         from .. import nn as _nn
         # store params in the compute dtype once (see nn.cast_params)
         self.params = _nn.cast_params(params, cfg.model.dtype)
+        if int8:
+            # deployment-time PTQ of every linear (nn.quantize_params): the
+            # MXU runs int8 at 2x the bf16 rate on v5e. Weight scales stay
+            # f32 (quantize AFTER the dtype cast so they are not rounded).
+            self.params = _nn.quantize_params(self.params)
         self.cfg = cfg
         self.state: Optional[SessionState] = None
         self._undo: list = []

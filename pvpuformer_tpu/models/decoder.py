@@ -102,14 +102,24 @@ def _mha(p, q, k, v, heads: int):
     go through their slice of in_proj, then scaled-dot-product, then
     out-proj."""
     d = q.shape[-1]
-    w = p["in_proj"]["w"]
-    b = p["in_proj"].get("b")
-    def proj(x, i):
-        y = jnp.dot(x, w[:, i * d:(i + 1) * d],
-                    preferred_element_type=jnp.float32).astype(x.dtype)
-        if b is not None:
-            y = y + b[i * d:(i + 1) * d].astype(x.dtype)
-        return y
+    in_proj = p["in_proj"]
+    if "w_q" in in_proj:                 # int8-quantized deployment params
+        def proj(x, i):
+            sub = {"w_q": in_proj["w_q"][:, i * d:(i + 1) * d],
+                   "w_s": in_proj["w_s"][i * d:(i + 1) * d]}
+            if "b" in in_proj:
+                sub["b"] = in_proj["b"][i * d:(i + 1) * d]
+            return nn._linear_int8(sub, x)
+    else:
+        w = in_proj["w"]
+        b = in_proj.get("b")
+
+        def proj(x, i):
+            y = jnp.dot(x, w[:, i * d:(i + 1) * d],
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+            if b is not None:
+                y = y + b[i * d:(i + 1) * d].astype(x.dtype)
+            return y
     qp, kp, vp = proj(q, 0), proj(k, 1), proj(v, 2)
     bsz, nq, _ = qp.shape
     out = nn.sdpa(qp.reshape(bsz, nq, heads, d // heads),

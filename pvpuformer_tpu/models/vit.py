@@ -94,7 +94,9 @@ def block_forward(p, x: jnp.ndarray, num_heads: int, eps: float,
     else:
         attn = nn.sdpa(q, k, v).reshape(b, n, d)
     x = x + nn.linear(p["attn"]["proj"], attn)
-    if mlp_impl == "fused":
+    if mlp_impl == "fused" and "w_q" not in p["mlp"]["fc1"]:
+        # the Pallas fused kernel reads f32/bf16 weights; int8-quantized
+        # params fall through to the dispatching XLA path
         from ..ops.fused_mlp import fused_ln_mlp
         x = fused_ln_mlp(x, p["norm2"], p["mlp"], eps)
     else:

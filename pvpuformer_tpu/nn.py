@@ -73,11 +73,83 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q" in p:
+        return _linear_int8(p, x)
     y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     y = y.astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized linear (inference-only serving path)
+#
+# TPU v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 FLOP rate, and int8
+# weights halve the weight HBM traffic besides. Scheme: per-output-channel
+# symmetric weight scales (PTQ, offline) + per-token dynamic symmetric
+# activation scales (computed on the fly — one amax reduction per call).
+# `linear`/`mlp` dispatch on the param structure ("w_q" present), so any
+# module whose weights went through `quantize_linear` runs quantized with no
+# config or call-site change; quantization is a deployment-time param
+# transform, not part of the model identity (configs/checkpoints are
+# unchanged — serialization stores the original f32/bf16 masters).
+# ---------------------------------------------------------------------------
+
+def quantize_linear(p: Params) -> Params:
+    """PTQ a linear param dict {"w": (in, out)[, "b"]} to int8.
+
+    Returns {"w_q": int8 (in, out), "w_s": f32 (out,)[, "b"]}. Symmetric
+    per-output-channel: w ~= w_q * w_s.
+    """
+    w = jnp.asarray(p["w"], jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
+    wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    out = {"w_q": wq, "w_s": s}
+    if "b" in p:
+        out["b"] = jnp.asarray(p["b"], jnp.float32)
+    return out
+
+
+def _linear_int8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic-activation int8 matmul: both operands int8 so XLA lowers the
+    contraction onto the MXU's int8 path (int32 accumulate)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                     1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, p["w_q"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * p["w_s"]
+    if "b" in p:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def quantize_params(params: Params, min_in_dim: int = 64) -> Params:
+    """Recursively PTQ every linear-shaped leaf dict in a param tree.
+
+    A node is quantized iff it looks like an `init_linear` product: a dict
+    with a 2-D float "w" whose fan-in is at least `min_in_dim` (tiny
+    projections gain nothing and lose precision; LayerNorm/conv nodes don't
+    match the shape test). Lists/tuples/dicts are walked; everything else is
+    returned as-is.
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            w = node.get("w")
+            if (w is not None and hasattr(w, "ndim") and w.ndim == 2
+                    and jnp.issubdtype(w.dtype, jnp.floating)
+                    and w.shape[0] >= min_in_dim
+                    and set(node) <= {"w", "b"}):
+                return quantize_linear(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
 
 
 def init_mlp(key, in_dim: int, hidden: int, out_dim: Optional[int] = None,
@@ -295,12 +367,22 @@ def init_patch_embed(key, patch: Tuple[int, int], in_ch: int, embed_dim: int,
 
 
 def patch_embed(p: Params, x: jnp.ndarray, patch: Tuple[int, int]) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H/ph * W/pw, D) via reshape + matmul."""
+    """(B, H, W, C) -> (B, H/ph * W/pw, D) via reshape + matmul.
+
+    Measured alternative (v5e, 448^2x3): a strided-conv lowering is 2.2x
+    faster STANDALONE (63 vs 136 us — the extract-patches transpose puts
+    c=3 in the lane dim at ~2% utilization) but 0.26 ms/click SLOWER inside
+    the full click program (4.13 vs 3.88 p50 — XLA overlaps the transpose
+    copies with neighboring matmuls there, and the conv breaks that
+    schedule), so the matmul form stays.
+    """
     ph, pw = patch
     b, h, w, c = x.shape
     gh, gw = h // ph, w // pw
     x = x.reshape(b, gh, ph, gw, pw, c)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, ph * pw * c)
+    if "w_q" in p:                      # int8-quantized deployment params
+        return _linear_int8(p, x)
     y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     return (y + p["b"]).astype(x.dtype)
 

@@ -93,6 +93,11 @@ def parse_args():
                    help="with --batched: shard each session batch over a "
                         "D-device data mesh inside the same program (B must "
                         "divide by D); 0 = single device")
+    p.add_argument("--int8", action="store_true",
+                   help="PTQ every linear to int8 (per-channel weights + "
+                        "dynamic per-token activations; v5e MXU int8 runs "
+                        "2x bf16). NoBRS only; serving extension, no "
+                        "reference counterpart")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--parity", action="store_true",
@@ -276,8 +281,11 @@ def main() -> None:
                                    cascade_clicks=args.cf_click,
                                    net_clicks_limit=clicks_limit)
             if args.mode.lower() == "nobrs":
-                predictor = Predictor(ds_params, pcfg)
+                predictor = Predictor(ds_params, pcfg, int8=args.int8)
             else:
+                assert not args.int8, \
+                    "--int8 is NoBRS-only (BRS differentiates the forward; " \
+                    "the int8 rounding has no useful gradient)"
                 from pvpuformer_tpu.inference.brs import get_predictor
                 predictor = get_predictor(ds_params, pcfg,
                                           brs_mode=args.mode)
@@ -293,7 +301,7 @@ def main() -> None:
                 from pvpuformer_tpu.parallel.mesh import make_mesh
                 mesh = make_mesh(args.eval_mesh)
             bev = BatchedEvaluator(ds_params, pcfg, batch_size=args.batched,
-                                   mesh=mesh)
+                                   mesh=mesh, int8=args.int8)
             all_ious, elapsed, stats = bev.evaluate(
                 dataset, max_clicks=args.n_clicks, max_iou_thr=target_iou,
                 min_clicks=args.min_n_clicks)

@@ -202,6 +202,8 @@ def main() -> None:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--prob-thresh", type=float, default=0.5)
     p.add_argument("--brs-mode", default="NoBRS")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ serving path (NoBRS only)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],

@@ -107,3 +107,24 @@ def test_train_then_evaluate_cli(tmp_path):
     assert "mIoU@k" in r.stdout
     pickles = list((tmp_path / "logs").glob("*.pickle"))
     assert pickles, "IoU pickle missing"
+
+
+def test_model_scripts_importable():
+    """Every shipped recipe exposes the config-as-code contract train.py
+    relies on (MODEL_NAME, init_model, main — exp.py:66-67 provenance +
+    train.py:71 load_module), and the L/H recipes build their configs."""
+    from pvpuformer_tpu.utils.exp import load_module
+
+    scripts = sorted((REPO / "models" / "iSegNet").glob("*.py"))
+    assert len(scripts) >= 4
+    for path in scripts:
+        mod = load_module(str(path))
+        assert isinstance(mod.MODEL_NAME, str) and mod.MODEL_NAME
+        assert callable(mod.main) and callable(mod.init_model)
+
+    from pvpuformer_tpu.models.vpu import vpu_huge_config, vpu_large_config
+    lcfg = vpu_large_config()
+    hcfg = vpu_huge_config()
+    assert lcfg.backbone.depth == 24 and lcfg.backbone.embed_dim == 1024
+    assert hcfg.backbone.depth == 32 and hcfg.backbone.embed_dim == 1280
+    assert hcfg.backbone.patch_size == (14, 14)
