@@ -44,8 +44,9 @@ trained = jax.device_get(tr.params)
 # evaluate NoC: trained vs random, same synthetic distribution (64x64 ellipses)
 eval_ds = SyntheticDataset(n_samples=6, hw=(64, 64), seed=123)
 pcfg = PredictorConfig(model=mcfg, target_size=CROP, min_crop_size=32)
-for name, p in (("random", params0), ("trained", trained)):
-    pred = Predictor(p, pcfg)
+for name, p, int8 in (("random", params0, False), ("trained", trained, False),
+                      ("trained+int8", trained, True)):
+    pred = Predictor(p, pcfg, int8=int8)
     ious, _ = evaluate_dataset(eval_ds, pred, max_iou_thr=0.80, max_clicks=10)
     noc, _, over = compute_noc_metric(ious, [0.5, 0.8], max_clicks=10)
     final = [round(float(a[-1]), 3) for a in ious]

@@ -48,20 +48,24 @@ def main() -> None:
                                    (args.hw, args.hw)))
     stacked = _stack_states(states)
 
-    for chunk in (32, None):
+    from pvpuformer_tpu.nn import quantize_params
+    variants = [("edt_chunk=32  ", params, 32),
+                ("edt_chunk=None", params, None),
+                ("int8 chunkNone", quantize_params(params), None)]
+    for label, pp, chunk in variants:
         cfg = PredictorConfig(model=mcfg, target_size=(args.hw, args.hw),
                               edt_chunk=chunk)
         # compile
-        _, ious = batched_click_scan(params, cfg, stacked, args.clicks)
+        _, ious = batched_click_scan(pp, cfg, stacked, args.clicks)
         np.asarray(ious)
         t0 = time.time()
         reps = 3
         for _ in range(reps):
-            _, ious = batched_click_scan(params, cfg, stacked, args.clicks)
+            _, ious = batched_click_scan(pp, cfg, stacked, args.clicks)
             np.asarray(ious)          # force the readback through the tunnel
         dt = (time.time() - t0) / reps
         cps = args.batch * args.clicks / dt
-        print(f"edt_chunk={str(chunk):4s}: {dt * 1e3:8.1f} ms/dispatch "
+        print(f"{label}: {dt * 1e3:8.1f} ms/dispatch "
               f"({cps:7.1f} clicks/s, b{args.batch} x {args.clicks})",
               flush=True)
 

@@ -150,8 +150,13 @@ def main() -> None:
         fp = jnp.zeros_like(fn)
         return jnp.sum(synth_boxes(g[..., 0], fn, fp, pts,
                                    jax.random.key(3)).astype(jnp.float32))
-    section("synth_boxes (conn comps):", boxes,
+    section("synth_boxes (cc=xla):", boxes,
             (batch["instances"], batch["points"]))
+
+    set_cc_default_impl("auto")      # the real train-step path on TPU
+    section("synth_boxes (cc=auto):", boxes,
+            (batch["instances"], batch["points"]))
+    set_cc_default_impl("xla")
 
     def cc(c, m):
         return jnp.sum(jax.vmap(cc_labels)((m + c) > 0.5).astype(
