@@ -25,7 +25,7 @@ WARMUP = 2
 MEASURE = 10
 
 
-def measure(mcfg, int8: bool) -> float:
+def measure(mcfg, int8: bool, pcfg_overrides=None) -> float:
     import jax
     import jax.numpy as jnp
     from pvpuformer_tpu.models.vpu import init_vpu
@@ -36,7 +36,8 @@ def measure(mcfg, int8: bool) -> float:
     params = cast_params(init_vpu(jax.random.key(0), mcfg), jnp.bfloat16)
     if int8:
         params = quantize_params(params)
-    pcfg = PredictorConfig(model=mcfg, target_size=(448, 448), with_flip=True)
+    pcfg = PredictorConfig(model=mcfg, target_size=(448, 448), with_flip=True,
+                           **(pcfg_overrides or {}))
 
     rng = np.random.default_rng(0)
     image = (rng.uniform(size=(448, 448, 3)) * 255).astype(np.uint8)
@@ -77,9 +78,15 @@ def main() -> None:
     out = {}
     for v in args.variants.split(","):
         v = v.strip()
-        mcfg, int8 = base, False
+        mcfg, int8, pov = base, False, None
         if v == "base":
             pass
+        elif v == "edt_none":
+            pov = {"edt_chunk": None}
+        elif v == "edt_pallas":
+            pov = {"edt_impl": "pallas"}
+        elif v == "int8_edt_none":
+            int8, pov = True, {"edt_chunk": None}
         elif v == "ln_bf16":
             mcfg = dataclasses.replace(
                 base, backbone=dataclasses.replace(base.backbone,
@@ -101,7 +108,7 @@ def main() -> None:
                                                    attn_impl="flash"))
         else:
             raise SystemExit(f"unknown variant {v}")
-        p50 = measure(mcfg, int8)
+        p50 = measure(mcfg, int8, pov)
         out[v] = round(p50, 3)
         print(f"{v:<14} p50 {p50:.3f} ms/click", flush=True)
     print(json.dumps(out))
