@@ -34,8 +34,11 @@ def main() -> None:
 
     d = args.dim
     shapes = [(8, 196, d), (2, 784, d)]
-    p = {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+    # Random (not ones/zeros) scale+bias so XLA can't algebraically fold the
+    # affine away when it becomes a constant in any lowering.
     rng = np.random.default_rng(0)
+    p = {"scale": jnp.asarray(1.0 + 0.1 * rng.normal(size=(d,)), jnp.float32),
+         "bias": jnp.asarray(0.1 * rng.normal(size=(d,)), jnp.float32)}
 
     def ln_two_pass(c, x, w):                    # current nn.layer_norm
         return nn.layer_norm(w, x + c.astype(x.dtype), 1e-6, f32=True)
@@ -66,7 +69,11 @@ def main() -> None:
         for name, fn in [("two_pass_f32", ln_two_pass),
                          ("one_pass_f32", ln_one_pass),
                          ("bf16", ln_bf16)]:
-            t_alone = device_time_per_call(lambda c, x: fn(c, x, p), (x,))
+            # Pass p as an argument (not a closure): closed-over device
+            # arrays become HLO constants, letting XLA fold the affine and
+            # skew the alone-vs-ctx comparison (advisor finding, round 2).
+            t_alone = device_time_per_call(
+                lambda c, x, w: fn(c, x, w), (x, p))
             t_ctx = device_time_per_call(ctx(lambda c, xx, w: fn(c, xx, w)),
                                          (x, r, p, wq))
             print(f"  {name:14s} alone {t_alone * 1e3:7.1f} us   "

@@ -53,7 +53,12 @@ def _png_to_array(b64: str) -> np.ndarray:
 def _array_to_png(arr: np.ndarray) -> str:
     from PIL import Image
     if arr.dtype == np.uint16:
-        img = Image.fromarray(arr, mode="I;16")
+        # Image.fromarray(..., mode=...) is deprecated (removed in Pillow 13);
+        # build the 16-bit image from the raw buffer instead.
+        h, w = arr.shape
+        img = Image.frombuffer(
+            "I;16", (w, h), np.ascontiguousarray(arr).tobytes(), "raw",
+            "I;16", 0, 1)
     else:
         img = Image.fromarray(arr)
     buf = io.BytesIO()
