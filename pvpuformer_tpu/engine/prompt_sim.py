@@ -234,8 +234,15 @@ class ClickInfo(NamedTuple):
 
 
 def _next_click_one(pred: jnp.ndarray, gt: jnp.ndarray, orders: jnp.ndarray,
-                    key: jax.Array, pred_thresh: float, n: int):
-    """pred/gt: (H, W); orders: (2N,). Returns click fields."""
+                    key: jax.Array, pred_thresh: float, n: int,
+                    deterministic: bool = False):
+    """pred/gt: (H, W); orders: (2N,). Returns click fields.
+
+    deterministic=True picks the FIRST inner-region pixel in row-major
+    order instead of a uniform sample — the reference's
+    `indices[np.random.randint(0, len(indices))]` (trainer.py:639,747)
+    with the draw pinned to 0; used by the prompt-protocol parity
+    certification (tests/test_reference_direct.py)."""
     gtm = gt > 0.5
     fn = gtm & (pred < pred_thresh)
     fp = (~gtm) & (pred > pred_thresh)
@@ -252,9 +259,12 @@ def _next_click_one(pred: jnp.ndarray, gt: jnp.ndarray, orders: jnp.ndarray,
     inner = d > jnp.maximum(fn_max, fp_max) / 4.0
     has_click = jnp.any(inner)
 
-    g = jax.random.gumbel(key, d.shape)
-    score = jnp.where(inner, g, -jnp.inf)
-    flat = jnp.argmax(score.reshape(-1))
+    if deterministic:
+        flat = jnp.argmax(inner.reshape(-1))
+    else:
+        g = jax.random.gumbel(key, d.shape)
+        score = jnp.where(inner, g, -jnp.inf)
+        flat = jnp.argmax(score.reshape(-1))
     w = pred.shape[1]
     y = (flat // w).astype(jnp.int32)
     x = (flat % w).astype(jnp.int32)
@@ -266,7 +276,8 @@ def _next_click_one(pred: jnp.ndarray, gt: jnp.ndarray, orders: jnp.ndarray,
 
 
 def next_clicks(pred: jnp.ndarray, gt: jnp.ndarray, points: jnp.ndarray,
-                key: jax.Array, pred_thresh: float = 0.49
+                key: jax.Array, pred_thresh: float = 0.49,
+                deterministic: bool = False
                 ) -> Tuple[jnp.ndarray, ClickInfo]:
     """Batched get_next_points (trainer.py:615-654).
 
@@ -276,7 +287,8 @@ def next_clicks(pred: jnp.ndarray, gt: jnp.ndarray, points: jnp.ndarray,
     n = twon // 2
     keys = jax.random.split(key, b)
     has, pos, ys, xs, slots, fns, fps = jax.vmap(
-        lambda p, g, o, k: _next_click_one(p, g, o, k, pred_thresh, n)
+        lambda p, g, o, k: _next_click_one(p, g, o, k, pred_thresh, n,
+                                           deterministic)
     )(pred, gt, points[:, :, 2], keys)
 
     order = jnp.maximum(jnp.max(points[:, :, 2], axis=1), 0.0) + 1.0
@@ -346,23 +358,38 @@ def _synth_box_one(mask: jnp.ndarray, loc: jnp.ndarray, key: jax.Array,
 def synth_boxes(gt: jnp.ndarray, fn: jnp.ndarray, fp: jnp.ndarray,
                 points: jnp.ndarray, key: jax.Array,
                 as_allmask: bool = False, jitter: bool = True,
-                set_offset: int = 10) -> jnp.ndarray:
+                set_offset: int = 10, n_dyn=None) -> jnp.ndarray:
     """Batched cal_box. gt/fn/fp: (B, H, W); points: (B, 2N, 3).
-    Returns (B, 5) int32 [x_center, y_center, width, height, slot]."""
+    Returns (B, 5) int32 [x_center, y_center, width, height, slot].
+
+    `n_dyn` (traced scalar, default = the static half size N) is the
+    reference's per-click half capacity (base.py:199-202): slot selection
+    searches only the first n_dyn slots of a half and the positive hardcode
+    / fallbacks become n_dyn - 1 — needed when the caller's points buffer is
+    wider than the reference's dynamic tensor (the eval predictor). The
+    resulting slot index still refers to OUR layout (negatives offset by N),
+    which coincides with the reference's index after its end-padding."""
     b, twon, _ = points.shape
     n = twon // 2
+    cap = jnp.asarray(n if n_dyn is None else n_dyn, jnp.int32)
     h, w = gt.shape[1], gt.shape[2]
     keys = jax.random.split(key, b)
     orders = points[:, :, 2]
+
+    def first_free(half_orders):
+        free = (half_orders < 0) & (jnp.arange(n) < cap)
+        return jnp.where(jnp.any(free), jnp.argmax(free),
+                         cap - 1).astype(jnp.int32)
+
     if as_allmask:
         masks = gt > 0.5
-        locs = jax.vmap(lambda o: _first_free_slot(o[:n], n - 1))(orders)
+        locs = jax.vmap(lambda o: first_free(o[:n]))(orders)
     else:
         is_positive = jnp.sum(fn, axis=(1, 2)) > jnp.sum(fp, axis=(1, 2))
         err = jnp.where(is_positive[:, None, None], fn, fp)
         masks = connected_regions_mask_batch(err)
-        loc_pos = jnp.int32(n - 1)        # reference hardcodes this (1087)
-        loc_neg = jax.vmap(lambda o: _first_free_slot(o[n:], n - 1))(orders) + n
+        loc_pos = cap - 1                 # reference hardcodes this (1087)
+        loc_neg = jax.vmap(lambda o: first_free(o[n:]))(orders) + n
         locs = jnp.where(is_positive, loc_pos, loc_neg)
     return jax.vmap(
         lambda m, l, k: _synth_box_one(m, l, k, jitter, set_offset, h, w)

@@ -210,12 +210,15 @@ class Trainer:
         return means
 
     def _dump_visualization(self, batch) -> None:
-        """Periodic qualitative panels (trainer.py:219-220,556-592): first
-        sample's image + gt blend + current prediction blend + clicks."""
+        """Periodic qualitative panels (trainer.py:219-220, save_visualization
+        at 556-592): first sample's [image + clicks | gt prob map | predicted
+        prob map] row, plus a blend row with instance boundaries and the
+        FN/FP error map (utils/vis boundary/error helpers)."""
         if self.vis_dir is None or jax.process_index() != 0:
             return
         from ..models.registry import forward_for
-        from ..utils.vis import draw_with_blend_and_clicks
+        from ..utils.vis import (draw_probmap, draw_with_blend_and_clicks,
+                                 error_map, get_boundaries)
 
         img = np.asarray(batch["image"][0])
         gt = np.asarray(batch["instances"][0, :, :, 0])
@@ -229,12 +232,27 @@ class Trainer:
             jax.nn.sigmoid(out["instances"][0, :, :, 0].astype(jnp.float32)))
 
         image_u8 = np.clip(img * 255, 0, 255).astype(np.uint8)
-        panel = np.concatenate([
-            draw_with_blend_and_clicks(image_u8, mask=(gt > 0.5).astype(int),
-                                       clicks_list=pts[0]),
+        # reference row (trainer.py:584-591): clicks + probmaps of gt/pred
+        # (gt ignore pixels rendered at 0.25, trainer.py:588)
+        gt_disp = gt.copy()
+        gt_disp[gt_disp < 0] = 0.25
+        row1 = np.concatenate([
+            draw_with_blend_and_clicks(image_u8, clicks_list=pts[0]),
+            draw_probmap(gt_disp),
+            draw_probmap(pred),
+        ], axis=1)
+        # blend row with instance boundaries + FN/FP error map
+        gtb = (gt > 0.5).astype(np.int32)
+        blend = draw_with_blend_and_clicks(image_u8, mask=gtb,
+                                           clicks_list=pts[0])
+        blend[get_boundaries(gtb)] = (255, 255, 255)
+        row2 = np.concatenate([
+            blend,
             draw_with_blend_and_clicks(image_u8,
                                        mask=(pred > 0.5).astype(int) * 2),
+            error_map(gtb, pred > 0.5),
         ], axis=1)
+        panel = np.concatenate([row1, row2], axis=0)
         self.vis_dir.mkdir(parents=True, exist_ok=True)
         from PIL import Image
         Image.fromarray(panel).save(

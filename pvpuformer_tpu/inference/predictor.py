@@ -30,7 +30,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..engine.prompt_sim import synth_boxes, synth_scribbles
+from ..engine.prompt_sim import (_bbox, connected_regions_mask_batch,
+                                 synth_boxes, synth_scribbles)
+from ..ops.edt import squared_edt_pair
 from ..models.vpu import VPUConfig
 from ..ops.edt import next_click_from_error
 from ..ops.resize import roi_crop_resize, roi_paste_back
@@ -56,6 +58,19 @@ class PredictorConfig:
     # ROI-cropped gt/error masks, = get_vqu_prediction's
     # _get_vqu_prediction_prompts path, base.py:166-177)
     prompt_mode: int = 0
+    # base.py:136-139: True routes prompts through the PPuE box/scribble
+    # encoders (+ the extra error click of get_next_promts, trainer.py:703-768,
+    # appended to the PPuE points only); False instead REWRITES the click
+    # tensor with box-corner / scribble-control pseudo-clicks and runs the
+    # plain click forward (= _get_vqu_prediction_points +
+    # get_next_promts_inference, base.py:153-163, trainer.py:902-1043).
+    as_multi_prompts: bool = True
+    # pin every random draw of the prompt synthesis (box jitter offsets -> 0
+    # with the reference's clamps kept, error-click / control-point picks ->
+    # first candidate in row-major order). Used by the protocol parity
+    # certification vs the reference's own eval loop with its random.randint /
+    # np.random.randint pinned the same way (tests/test_reference_direct.py).
+    deterministic_prompts: bool = False
     # cap on max(H, W): larger inputs are host-resized down before the
     # session and predictions reported at that size (transforms/
     # limit_longest_side.py:4-22). 0 disables.
@@ -201,6 +216,219 @@ def _update_roi(cfg: PredictorConfig, state: SessionState, points) -> Tuple[jnp.
 
 
 # ---------------------------------------------------------------------------
+# points-rewrite prompt protocol (as_multi_prompts=False):
+# get_next_promts_inference (trainer.py:902-1043) + cal_box_inference /
+# cal_scribble_inference (trainer.py:770-900), on device with fixed shapes.
+# ---------------------------------------------------------------------------
+
+def _append_error_click(pred: jnp.ndarray, gt: jnp.ndarray,
+                        points: jnp.ndarray, n_dyn: jnp.ndarray,
+                        key: jax.Array, det: bool,
+                        pred_thresh: float) -> jnp.ndarray:
+    """get_next_promts' click rewrite (trainer.py:735-764) for the PPuE
+    points of the prompt-tensor protocol: per batch item, exact EDT over the
+    FN/FP error masks, one click inside the `dist > max/2` region (first
+    row-major pixel when det, uniform otherwise), written into the first
+    free slot of the DYNAMIC half capacity `n_dyn` (the reference tensor has
+    only max(num_pos, num_neg) slots per half, base.py:199-202, so a full
+    half OVERWRITES its last slot — trainer.py:750-751 fallback).
+
+    Deviation (documented, PARITY.md): the reference computes this EDT with
+    cv2's 5x5 chamfer approximation (maskSize=5); we use the exact transform
+    (the eval clicker's own semantics, clicker.py:37)."""
+    b, twon, _ = points.shape
+    n = twon // 2
+
+    def one(p, g, o, k):
+        gtm = g > 0.5
+        fn = gtm & (p < pred_thresh)
+        fp = (~gtm) & (p > pred_thresh)
+        d_fn, d_fp = squared_edt_pair(fn, fp, chunk=None)
+        fn_max = jnp.max(d_fn)
+        fp_max = jnp.max(d_fp)
+        is_pos = fn_max > fp_max
+        d = jnp.where(is_pos, d_fn, d_fp)
+        inner = d > jnp.maximum(fn_max, fp_max) / 4.0   # linear max/2 squared
+        has = jnp.any(inner)
+        if det:
+            flat = jnp.argmax(inner.reshape(-1))
+        else:
+            gmb = jax.random.gumbel(k, inner.shape)
+            flat = jnp.argmax(jnp.where(inner, gmb, -jnp.inf).reshape(-1))
+        w = p.shape[1]
+        y = (flat // w).astype(jnp.float32)
+        x = (flat % w).astype(jnp.float32)
+        half = jnp.where(is_pos, o[:n], o[n:])
+        free = (half < 0) & (jnp.arange(n) < n_dyn)
+        slot = jnp.where(jnp.any(free), jnp.argmax(free), n_dyn - 1)
+        slot = jnp.where(is_pos, slot, slot + n).astype(jnp.int32)
+        return has, y, x, slot
+
+    keys = jax.random.split(key, b)
+    has, ys, xs, slots = jax.vmap(one)(pred, gt, points[:, :, 2], keys)
+    order = jnp.maximum(jnp.max(points[:, :, 2], axis=1), 0.0) + 1.0
+    rows = jnp.stack([ys, xs, order], axis=-1)
+    bidx = jnp.arange(b)
+    new = jnp.where(has[:, None], rows, points[bidx, slots])
+    return points.at[bidx, slots].set(new)
+
+
+def _value_in_mask_coords(mask: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """The reference's `v in np.argwhere(mask)` (trainer.py:822): membership
+    of the VALUE v among all row AND column coordinates of foreground pixels
+    (numpy `in` flattens the (K, 2) index array). Reproduced as-is."""
+    h, w = mask.shape
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    return jnp.any(rows & (jnp.arange(h) == v)) | \
+        jnp.any(cols & (jnp.arange(w) == v))
+
+
+def _box_prompt_one(gtb: jnp.ndarray, key: jax.Array, det: bool,
+                    set_offset: int = 10):
+    """cal_box_inference with as_allmask=True, jitter_box=True
+    (trainer.py:770-842, the hardcoded call at 920): GT bbox with jittered,
+    clamped edges; box center substituted by a random foreground pixel when
+    neither center coordinate VALUE appears among the foreground coordinates
+    (the reference's numpy-`in` check, 822); zeroed unless center >= 1 and
+    extents >= 1 (826-837). det pins jitter offsets to 0 (clamps kept) and
+    the substitute pixel to the first in row-major order.
+
+    Returns ([y0, x0, y1, x1, y_center, x_center] int32, ok flag)."""
+    h, w = gtb.shape
+    has = jnp.any(gtb)
+    y0, y1, x0, x1 = _bbox(gtb)
+
+    ki, k1, k2, k3, k4 = jax.random.split(key, 5)
+    if det:
+        flat = jnp.argmax(gtb.reshape(-1))
+        o1 = o2 = o3 = o4 = jnp.int32(0)
+    else:
+        g = jax.random.gumbel(ki, gtb.shape)
+        flat = jnp.argmax(jnp.where(gtb, g, -jnp.inf).reshape(-1))
+        o1 = jax.random.randint(k1, (), -set_offset, 1)
+        o2 = jax.random.randint(k2, (), 0, set_offset + 1)
+        o3 = jax.random.randint(k3, (), -set_offset, 1)
+        o4 = jax.random.randint(k4, (), 0, set_offset + 1)
+    iy = (flat // w).astype(jnp.int32)
+    ix = (flat % w).astype(jnp.int32)
+
+    bx0 = jnp.minimum(jnp.maximum(x0 + o1, 0), w - set_offset)
+    bx1 = jnp.maximum(jnp.minimum(x1 + o2, w), bx0 + set_offset)
+    by0 = jnp.minimum(jnp.maximum(y0 + o3, 0), h - set_offset)
+    by1 = jnp.maximum(jnp.minimum(y1 + o4, h), by0 + set_offset)
+
+    xc = (bx0 + bx1) // 2
+    yc = (by0 + by1) // 2
+    bw = bx1 - bx0
+    bh = by1 - by0
+    sub = (~_value_in_mask_coords(gtb, xc)) & (~_value_in_mask_coords(gtb, yc))
+    xc = jnp.where(sub, ix, xc)
+    yc = jnp.where(sub, iy, yc)
+    ok = has & (xc >= 1) & (yc >= 1) & (bw >= 1) & (bh >= 1)
+    out = jnp.stack([by0, bx0, by1, bx1, yc, xc]).astype(jnp.int32)
+    return jnp.where(ok, out, jnp.zeros((6,), jnp.int32)), ok
+
+
+def _rewrite_points_box(net_points: jnp.ndarray, gtb: jnp.ndarray,
+                        key: jax.Array, n_dyn: jnp.ndarray,
+                        first: jnp.ndarray, det: bool) -> jnp.ndarray:
+    """as_prompt_type=1 points rewrite (trainer.py:963-1009): on the first
+    click the clicks are DISCARDED and replaced by [center(+, order 1) |
+    corner0(-, order 0), corner1(-, order 2)]; afterwards the three pseudo-
+    clicks are appended after the live clicks (center at positive slot
+    `n_dyn`, corners at negative slots `n_dyn`, `n_dyn+1`) with orders
+    (max+2, max+1, max+3). `n_dyn` is the reference's dynamic per-click
+    num_max_points (base.py:199-202); slots beyond it stay -1, which encode
+    to the same not-a-point PPuE rows as the reference's end padding."""
+    b, twon, _ = net_points.shape
+    n = twon // 2
+    keys = jax.random.split(key, b)
+    bp, ok = jax.vmap(lambda m, k: _box_prompt_one(m, k, det))(gtb, keys)
+    any_ok = jnp.any(ok)
+    bpf = bp.astype(jnp.float32)
+
+    order = jnp.maximum(jnp.max(net_points[:, :, 2], axis=1), 0.0) + 1.0
+    o_center = jnp.where(first, 1.0, order + 1.0)
+    o_c0 = jnp.where(first, 0.0, order)
+    o_c1 = jnp.where(first, 2.0, order + 2.0)
+
+    base = jnp.where(first, -1.0, net_points)
+    idx_c = jnp.where(first, 0, n_dyn).astype(jnp.int32)
+    idx = jnp.broadcast_to(idx_c, (b,))
+    bidx = jnp.arange(b)
+
+    def put(pts, at, row):
+        new = jnp.where(ok[:, None], row, pts[bidx, at])
+        return pts.at[bidx, at].set(new)
+
+    pts = put(base, idx, jnp.stack([bpf[:, 4], bpf[:, 5], o_center], axis=-1))
+    pts = put(pts, idx + n, jnp.stack([bpf[:, 0], bpf[:, 1], o_c0], axis=-1))
+    pts = put(pts, idx + n + 1, jnp.stack([bpf[:, 2], bpf[:, 3], o_c1], axis=-1))
+    return jnp.where(any_ok, pts, net_points)
+
+
+def _scribble_points_one(mask: jnp.ndarray, key: jax.Array, det: bool,
+                         num_p: int = 7):
+    """cal_scribble_inference control points (trainer.py:844-899, the call at
+    921 pins num_p = max_p = 7): rows stepped from the region's row min by
+    `row_extent // 7`; per row one foreground pixel (first in the row for
+    det, uniform otherwise); rows with no foreground are SKIPPED (the
+    reference compacts them away — we return a validity mask and the caller
+    compacts by rank). Returns (rows, cols, valid) each (num_p,)."""
+    h, w = mask.shape
+    y0, y1, x0, x1 = _bbox(mask)          # rows y, cols x
+    gap = (y1 - y0) // num_p
+    kr, kc = jax.random.split(key)
+    i = jnp.arange(num_p, dtype=jnp.int32)
+    if det:
+        rows = y0 + i * gap
+    else:
+        # randint(value, value+gap-1) per band (871-872)
+        u = jax.random.randint(kr, (num_p,), 0, jnp.maximum(gap, 1))
+        rows = y0 + i * gap + u
+    rows = jnp.clip(rows, 0, h - 1)
+    row_masks = mask[rows]                                    # (K, W)
+    valid = jnp.any(row_masks, axis=1)
+    if det:
+        cols = jnp.argmax(row_masks, axis=1).astype(jnp.int32)
+    else:
+        g = jax.random.gumbel(kc, row_masks.shape)
+        cols = jnp.argmax(jnp.where(row_masks, g, -jnp.inf),
+                          axis=1).astype(jnp.int32)
+    return rows, cols, valid
+
+
+def _rewrite_points_scribble(net_points: jnp.ndarray, gtb: jnp.ndarray,
+                             key: jax.Array, n_dyn: jnp.ndarray,
+                             first: jnp.ndarray, det: bool) -> jnp.ndarray:
+    """as_prompt_type=2 points rewrite (trainer.py:1011-1041): the scribble
+    CONTROL points (not the curve) become positive pseudo-clicks — replacing
+    the clicks entirely on the first click (orders 0..K-1), appended after
+    them otherwise (positive slots n_dyn.., orders max+1+p)."""
+    b, twon, _ = net_points.shape
+    n = twon // 2
+    masks = connected_regions_mask_batch(gtb)   # max_connected_regions (1175)
+    keys = jax.random.split(key, b)
+    rows, cols, valid = jax.vmap(
+        lambda m, k: _scribble_points_one(m, k, det))(masks, keys)
+    has = jnp.any(gtb, axis=(1, 2))
+    valid = valid & has[:, None]
+
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1       # (B, K)
+    order = jnp.maximum(jnp.max(net_points[:, :, 2], axis=1), 0.0) + 1.0
+    o = jnp.where(first, 0.0, order)[:, None] + rank.astype(jnp.float32)
+    offset = jnp.where(first, 0, n_dyn).astype(jnp.int32)
+    slots = jnp.where(valid, offset + rank, twon)                # twon = drop
+    base = jnp.where(first, -1.0, net_points)
+
+    rowsf = jnp.stack([rows.astype(jnp.float32), cols.astype(jnp.float32), o],
+                      axis=-1)                                   # (B, K, 3)
+    bidx = jnp.arange(b)[:, None]
+    return base.at[bidx, slots].set(rowsf, mode="drop")
+
+
+# ---------------------------------------------------------------------------
 # click step
 # ---------------------------------------------------------------------------
 
@@ -247,27 +475,55 @@ def _forward_round(params, cfg: PredictorConfig, state: SessionState,
     pts = _transform_points(net_points, roi, (th, tw), cfg.with_flip)
 
     boxes = scribbles = None
+    extra_kw = {}
+    prompt_type = cfg.prompt_mode
     if cfg.prompt_mode != 0:
-        # box/scribble prompts from the ROI-cropped gt + error masks
-        # (base.py:166-177: as_allmask=False, jitter_box=False)
         gtc = roi_crop_resize(state.gt[None, :, :, None], roi_t, th, tw)
         if cfg.with_flip:
             gtc = jnp.concatenate([gtc, gtc[:, :, ::-1, :]], axis=0)
-        gtb = gtc[..., 0] > 0.5
-        prevb = crop[..., 3]
-        fn = gtb & (prevb < cfg.prob_thresh)
-        fp = (~gtb) & (prevb > cfg.prob_thresh)
+        gtf = gtc[..., 0]
+        gtb = gtf > 0.5
         key = jax.random.fold_in(jax.random.key(17), state.click_count)
-        boxes = synth_boxes(gtc[..., 0], fn, fp, pts, key,
-                            as_allmask=False, jitter=False).astype(jnp.float32)
-        if cfg.prompt_mode == 2:
-            scr, rects = synth_scribbles(gtc[..., 0], key, num_samples=1000)
-            scribbles = (scr[:, None], rects[:, None])
+        kb, kc = jax.random.split(key)
+        first = state.click_count <= 1            # eval loop's click_indx == 0
+        det = cfg.deterministic_prompts
+        nmax = jnp.maximum(state.num_pos, state.num_neg)
+        if cfg.net_clicks_limit is not None:
+            nmax = jnp.minimum(nmax, cfg.net_clicks_limit)
+        n_dyn = jnp.maximum(nmax, 1)              # base.py:199-202
+        if cfg.as_multi_prompts:
+            # prompt-tensor protocol (base.py:166-177 _get_vqu_prediction_
+            # prompts): boxes from the dominant ROI error region (as_allmask=
+            # False, jitter_box=False), PLUS get_next_promts' extra error
+            # click (trainer.py:735-764) appended to the PPuE points ONLY —
+            # the disk channels keep the live clicks (is_model.py:79 computes
+            # dist_maps before backbone_forward's rebind to prompts[0]).
+            prevb = crop[..., 3]
+            fn = gtb & (prevb < cfg.prob_thresh)
+            fp = (~gtb) & (prevb > cfg.prob_thresh)
+            boxes = synth_boxes(gtf, fn, fp, pts, kb,
+                                as_allmask=False, jitter=False,
+                                n_dyn=n_dyn).astype(jnp.float32)
+            extra_kw["ppue_points"] = _append_error_click(
+                prevb, gtf, pts, n_dyn, kc, det, cfg.prob_thresh)
+            if cfg.prompt_mode == 2:
+                scr, rects = synth_scribbles(gtf, kb, num_samples=1000)
+                scribbles = (scr[:, None], rects[:, None])
+        else:
+            # points-rewrite protocol (base.py:153-163 _get_vqu_prediction_
+            # points + get_next_promts_inference): box corners / scribble
+            # control points become pseudo-clicks and the forward runs the
+            # plain click path (self.net(image_nd, points_nd), base.py:163).
+            if cfg.prompt_mode == 1:
+                pts = _rewrite_points_box(pts, gtb, kb, n_dyn, first, det)
+            else:
+                pts = _rewrite_points_scribble(pts, gtb, kb, n_dyn, first, det)
+            prompt_type = 0
 
     from ..models.registry import forward_for
     fwd = forward_for(cfg.model)          # any registered model family
     out = fwd(params, cfg.model, crop, pts, boxes=boxes,
-              scribbles=scribbles, prompt_type=cfg.prompt_mode)
+              scribbles=scribbles, prompt_type=prompt_type, **extra_kw)
     logits = out["instances"]                               # (B, th, tw, 1)
     if cfg.with_flip:
         logits = 0.5 * (logits[:1] + logits[1:, :, ::-1, :])

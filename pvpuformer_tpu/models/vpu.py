@@ -206,9 +206,18 @@ def vpu_forward(params, cfg: VPUConfig, image: jnp.ndarray, points: jnp.ndarray,
                 prompt_type: int = 0,
                 dropout_key: Optional[jax.Array] = None,
                 shuffle_key: Optional[jax.Array] = None,
-                coord_bias=None, captions=None) -> Dict[str, jnp.ndarray]:
+                coord_bias=None, captions=None,
+                ppue_points: Optional[jnp.ndarray] = None
+                ) -> Dict[str, jnp.ndarray]:
     """Full forward. `prompt_type` is a static Python int (0 click / 1 box /
-    2 scribble), selecting the PPuE encoder at trace time."""
+    2 scribble), selecting the PPuE encoder at trace time.
+
+    `ppue_points` optionally substitutes the click tensor fed to the PPuE
+    encoders only, mirroring the reference's rebind of `points` to
+    `prompts[0]` inside backbone_forward (is_vpu_model.py:397) while the
+    disk channels keep the original clicks (is_model.py:79 computes
+    dist_maps BEFORE the rebind). The inference prompt path uses it to
+    append the extra error click of get_next_promts (trainer.py:735-764)."""
     dt = cfg.dtype
     image = image.astype(dt)
     rgb, prev_mask = prepare_input(cfg, image)
@@ -217,12 +226,13 @@ def vpu_forward(params, cfg: VPUConfig, image: jnp.ndarray, points: jnp.ndarray,
 
     tokens = vpu_backbone_embed(params, cfg, rgb, coords, shuffle_key)
 
+    ppts = points if ppue_points is None else ppue_points
     if prompt_type == 0:
-        pv = ppue_click(points, cfg.ppue, num_max_points=cfg.num_max_points)
+        pv = ppue_click(ppts, cfg.ppue, num_max_points=cfg.num_max_points)
     elif prompt_type == 1:
-        pv = ppue_box(points, boxes, cfg.ppue, num_max_points=cfg.num_max_points)
+        pv = ppue_box(ppts, boxes, cfg.ppue, num_max_points=cfg.num_max_points)
     else:
-        pv = ppue_scribble(points, scribbles[0][:, 0], scribbles[1][:, 0],
+        pv = ppue_scribble(ppts, scribbles[0][:, 0], scribbles[1][:, 0],
                            cfg.ppue, num_max_points=cfg.num_max_points)
     pv = pv.astype(dt)
 

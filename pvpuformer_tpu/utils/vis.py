@@ -1,11 +1,18 @@
 """Visualization helpers — qualitative panels for eval dumps and the demo.
 
-Numpy re-implementations of `isegm/utils/vis.py`:
-  * draw_probmap (vis.py:61): jet colormap of a probability map;
+Numpy/PIL re-implementations of `isegm/utils/vis.py` (no cv2 dependency in
+the package; the cv2 formulas are pinned by oracle tests):
+  * draw_probmap (vis.py:61): colormap of a probability map;
   * draw_with_blend_and_clicks (vis.py:119): alpha-blend the mask color over
     the image + green/red click disks;
   * draw_with_blend_and_prompts (vis.py:246): same + box outlines / scribble
     polylines;
+  * get_boundaries (vis.py:103): 3x3-ellipse-erosion instance boundaries;
+  * visualize_instances (vis.py:8): palette + boundary overlay;
+  * draw_heatmap (vis.py:353): hot-colormap blend;
+  * error_map / draw_with_error (vis.py:213, evaluate_vpumodel.py:370-373):
+    FN/FP error panels with prompt overlays;
+  * annotate_iou_noc (evaluate_vpumodel.py:378-383): IoU/NoC text stamps;
   * visualize_mask / per-instance palette.
 """
 from __future__ import annotations
@@ -139,3 +146,156 @@ def draw_with_blend_and_prompts(image: np.ndarray, mask=None, alpha=0.6,
         if np.any(scr):
             out = draw_scribble(out, scr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# boundary / instance / heatmap helpers (vis.py:8-23, 103-116, 353-361)
+# ---------------------------------------------------------------------------
+
+# cv2.getStructuringElement(MORPH_ELLIPSE, (3, 3)) — the plus-shaped kernel
+# the reference erodes with (vis.py:111)
+_ELLIPSE3 = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool)
+
+
+def _erode(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
+    """Binary erosion with the 3x3 ellipse kernel (= cv2.erode semantics:
+    out-of-image neighbours count as foreground, so borders survive when the
+    in-image neighbourhood does)."""
+    out = mask.astype(bool)
+    h, w = out.shape
+    for _ in range(iterations):
+        pad = np.pad(out, 1, constant_values=True)
+        acc = np.ones((h, w), bool)
+        for dy, dx in ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0)):
+            acc &= pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        out = acc
+    return out
+
+
+def get_boundaries(instances_masks: np.ndarray,
+                   boundaries_width: int = 1) -> np.ndarray:
+    """vis.py:103-116: per-instance boundary pixels — each object minus its
+    `boundaries_width`-step erosion, OR-ed over objects."""
+    boundaries = np.zeros(instances_masks.shape[:2], bool)
+    for obj_id in np.unique(instances_masks):
+        if obj_id == 0:
+            continue
+        obj = instances_masks == obj_id
+        inner = _erode(obj, iterations=boundaries_width)
+        boundaries |= obj ^ (inner & obj)
+    return boundaries
+
+
+def visualize_instances(imask: np.ndarray, bg_color=255,
+                        boundaries_color=None, boundaries_width: int = 1,
+                        boundaries_alpha: float = 0.8) -> np.ndarray:
+    """vis.py:8-23: palette-colored instance map, optionally with alpha-
+    blended boundary strokes."""
+    result = _palette()[np.clip(imask, 0, 255).astype(np.int32)].copy()
+    if bg_color is not None:
+        result[imask == 0] = bg_color
+    if boundaries_color is not None:
+        b = get_boundaries(imask, boundaries_width)
+        t = result.astype(np.float32)
+        t[b] = boundaries_color
+        result = (t * boundaries_alpha
+                  + (1 - boundaries_alpha) * result).astype(np.uint8)
+    return result.astype(np.uint8)
+
+
+def draw_heatmap(img: np.ndarray, mask=None, alpha: float = 0.5) -> np.ndarray:
+    """vis.py:353-361: hot-colormap of the (binary) mask blended additively
+    over the image."""
+    result = img.copy()
+    if mask is not None:
+        x = mask.astype(np.float32)
+        x = x / max(x.max(), 1e-6)
+        # COLORMAP_HOT ramp: black -> red -> yellow -> white
+        r = np.clip(3.0 * x, 0, 1)
+        g = np.clip(3.0 * x - 1.0, 0, 1)
+        b = np.clip(3.0 * x - 2.0, 0, 1)
+        heat = (np.stack([r, g, b], axis=-1) * 255)
+        result = np.clip(heat * alpha + img, 0, 255).astype(np.uint8)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# error maps + text annotation (vis.py:213-244, evaluate_vpumodel.py:360-427)
+# ---------------------------------------------------------------------------
+
+def error_map(gt_mask: np.ndarray, pred_mask: np.ndarray,
+              fn_color=(255, 0, 0), fp_color=(0, 0, 255)) -> np.ndarray:
+    """evaluate_vpumodel.py:370-373: under-segmentation (FN) red,
+    over-segmentation (FP) blue, black elsewhere."""
+    out = np.zeros((*gt_mask.shape, 3), np.uint8)
+    out[(gt_mask > 0) & ~pred_mask] = fn_color
+    out[(gt_mask < 1) & pred_mask] = fp_color
+    return out
+
+
+def draw_with_error(gt_mask: np.ndarray, pred_mask: np.ndarray,
+                    clicks_list=None, boxes=None, scribbles=None,
+                    prompt_type: int = 0, radius: int = 4) -> np.ndarray:
+    """vis.py:213-244 draw_with_error: the FN/FP error map with the prompt
+    of the round drawn on top (clicks for type 0, box outline for 1,
+    scribble stroke for 2)."""
+    out = error_map(gt_mask, pred_mask)
+    if prompt_type == 0 and clicks_list is not None:
+        out = draw_with_blend_and_clicks(out, clicks_list=clicks_list,
+                                         radius=radius)
+    elif prompt_type == 1 and boxes is not None:
+        for box in np.atleast_2d(np.asarray(boxes)):
+            if np.any(box[:4]):
+                out = draw_box(out, box, color=(192, 0, 0))   # vis.py:307
+    elif prompt_type == 2 and scribbles is not None:
+        scr = np.asarray(scribbles)
+        if scr.ndim == 3:
+            scr = scr[0]
+        if np.any(scr):
+            out = draw_scribble(out, scr, color=(192, 0, 0))  # vis.py:319
+    return out
+
+
+def annotate_iou_noc(image: np.ndarray, iou: float, noc: int,
+                     color=(255, 255, 255)) -> np.ndarray:
+    """evaluate_vpumodel.py:378-383: stamp 'NoC=k' / 'IoU=p%' onto the
+    panel (PIL text in place of cv2.putText)."""
+    from PIL import Image, ImageDraw
+    img = Image.fromarray(np.ascontiguousarray(image))
+    d = ImageDraw.Draw(img)
+    d.text((2, 8), f"NoC={noc}", fill=tuple(color))
+    d.text((2, 28), f"IoU={iou * 100:.2f}%", fill=tuple(color))
+    return np.asarray(img)
+
+
+def eval_panel(image: np.ndarray, gt_mask: np.ndarray, probs: np.ndarray,
+               iou: float, click_indx: int, clicks_list=None, boxes=None,
+               scribbles=None, prompt_type: int = 0,
+               prob_thresh: float = 0.49) -> np.ndarray:
+    """One click's 2x3 qualitative panel row, matching the reference's
+    eval dump layout (evaluate_vpumodel.py:360-427):
+      [gt blend (strong) | gt blend (light) | pred blend + prompts]
+      [error map + prompts | prob map | pred mask + IoU/NoC text]
+    """
+    pred_mask = probs > prob_thresh
+
+    def blend(mask, alpha):
+        return draw_with_blend_and_prompts(
+            image, mask=mask.astype(np.int32), alpha=alpha,
+            clicks_list=clicks_list if prompt_type == 0 else None,
+            boxes=boxes if prompt_type == 1 else None,
+            scribbles=scribbles if prompt_type == 2 else None)
+
+    gt_strong = blend(gt_mask > 0, 0.7)
+    gt_light = blend(gt_mask > 0, 0.5)
+    pred_blend = blend(pred_mask, 0.6)
+    err = draw_with_error(gt_mask, pred_mask, clicks_list=clicks_list,
+                          boxes=boxes, scribbles=scribbles,
+                          prompt_type=prompt_type)
+    prob_map = draw_probmap(probs)
+    pm = (np.repeat(pred_mask[..., None], 3, axis=2) * 255).astype(np.uint8)
+    pm = annotate_iou_noc(pm, iou, click_indx + 1)
+
+    row1 = np.concatenate([gt_strong, gt_light, pred_blend], axis=1)
+    row2 = np.concatenate([err, prob_map, pm], axis=1)
+    return np.concatenate([row1, row2], axis=0)

@@ -48,6 +48,10 @@ def parse_args():
                         "sam_evaluation loop does not)")
     p.add_argument("--random-weights", action="store_true",
                    help="random ViT-B/448 weights (pipeline smoke run)")
+    p.add_argument("--model-size", default="base",
+                   choices=["base", "large", "huge"],
+                   help="model family for --random-weights (BASELINE "
+                        "configs 4/5 dress rehearsal: ViT-L / ViT-H)")
     p.add_argument("--exp-path", default=None,
                    help="resolve the checkpoint from the experiments tree "
                         "instead of --checkpoint: 'rel/exp[:prefix]' globs "
@@ -156,7 +160,8 @@ def resolve_exp_checkpoint(args) -> str:
 def build_model(args):
     import jax
     import jax.numpy as jnp
-    from pvpuformer_tpu.models.vpu import vpu_base_config, init_vpu
+    from pvpuformer_tpu.models.vpu import (init_vpu, vpu_base_config,
+                                           vpu_huge_config, vpu_large_config)
     from pvpuformer_tpu.utils.serialization import load_checkpoint
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -168,7 +173,9 @@ def build_model(args):
         mcfg = mcfg.replace(dtype=dtype)
         return params, mcfg
     assert args.random_weights, "--checkpoint or --random-weights required"
-    mcfg = vpu_base_config(dtype=dtype)
+    make = {"base": vpu_base_config, "large": vpu_large_config,
+            "huge": vpu_huge_config}[args.model_size]
+    mcfg = make(dtype=dtype)
     return init_vpu(jax.random.key(0), mcfg), mcfg
 
 
@@ -290,7 +297,9 @@ def main() -> None:
                 predictor = get_predictor(ds_params, pcfg,
                                           brs_mode=args.mode)
 
-        vis_callback = _make_vis_callback(logs_dir / "vis" / name) \
+        vis_callback = _make_vis_callback(logs_dir / "vis" / name,
+                                          prompt_mode=args.prompt_mode,
+                                          prob_thresh=args.thresh) \
             if args.vis_preds else None
         if args.batched > 0 and vis_callback is None:
             assert args.mode.lower() == "nobrs", \
@@ -382,16 +391,55 @@ def _limited(dataset, n):
     return Limited()
 
 
-def _make_vis_callback(out_dir: Path):
+def _display_box(gt_mask, probs, prob_thresh):
+    """Host-side recompute of the round's box prompt for display (the
+    device-side box of prompt_mode=1: bbox of the dominant FN/FP connected
+    region, cal_box semantics, trainer.py:1061-1131 / prompt_sim.synth_boxes
+    with jitter off)."""
+    from scipy import ndimage
+    gtb = gt_mask > 0.5
+    pred = probs > prob_thresh
+    fn = gtb & ~pred
+    fp = ~gtb & pred
+    err = fn if fn.sum() > fp.sum() else fp
+    if not err.any():
+        return None
+    lab, n = ndimage.label(err, structure=np.ones((3, 3)))
+    sizes = np.bincount(lab.ravel())
+    sizes[0] = 0
+    keep = (lab == sizes.argmax()) | (sizes[lab] > 0.1 * err.sum())
+    ys, xs = np.nonzero(err & keep)
+    y0, y1, x0, x1 = ys.min(), ys.max(), xs.min(), xs.max()
+    return np.array([(x0 + x1) // 2, (y0 + y1) // 2, x1 - x0, y1 - y0, 0])
+
+
+def _make_vis_callback(out_dir: Path, prompt_mode: int = 0,
+                       prob_thresh: float = 0.49):
+    """Reference-grade qualitative dump (evaluate_vpumodel.py:326-427): one
+    2x3 panel row per click — gt blends, pred blend with the round's
+    prompts, FN/FP error map with prompts, prob map, pred mask annotated
+    with IoU/NoC — stacked vertically across clicks into one jpg per
+    sample."""
     out_dir.mkdir(parents=True, exist_ok=True)
+    cache = {}
 
     def callback(image, gt_mask, probs, iou, sample_id, click_indx, clicks):
-        from pvpuformer_tpu.utils.vis import draw_with_blend_and_clicks
+        from pvpuformer_tpu.utils.vis import eval_panel
         from PIL import Image
-        panel = draw_with_blend_and_clicks(
-            image, mask=(probs > 0.49).astype(np.int32), clicks_list=clicks)
-        Image.fromarray(panel).save(
-            out_dir / f"{sample_id}_{click_indx:02d}_{iou:.3f}.jpg")
+        boxes = _display_box(gt_mask, probs, prob_thresh) \
+            if prompt_mode == 1 else None
+        panel = eval_panel(image, gt_mask, probs, iou, click_indx,
+                           clicks_list=clicks, boxes=boxes,
+                           prompt_type=prompt_mode, prob_thresh=prob_thresh)
+        if cache.get("sample_id") != sample_id or \
+                cache.get("click_indx", -1) > click_indx:
+            cache["sample_id"] = sample_id
+            cache["plot"] = None
+        cache["click_indx"] = click_indx
+        if cache.get("plot") is not None:
+            panel = np.concatenate([cache["plot"], panel], axis=0)
+        cache["plot"] = panel
+        Image.fromarray(panel).save(out_dir / f"{sample_id}.jpg")
 
     return callback
 

@@ -5,6 +5,7 @@ import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
@@ -100,13 +101,40 @@ def test_train_then_evaluate_cli(tmp_path):
     r = run(["scripts/evaluate.py", "NoBRS", "--platform", "cpu",
              "--checkpoint", str(ckpt),
              "--datasets", "Synthetic", "--n-clicks", "2", "--limit", "1",
-             "--print-ious", "--save-ious",
+             "--print-ious", "--save-ious", "--vis-preds",
              "--logs-path", str(tmp_path / "logs")])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "NoC@80%" in r.stdout and "NoBRS" in r.stdout
     assert "mIoU@k" in r.stdout
     pickles = list((tmp_path / "logs").glob("*.pickle"))
     assert pickles, "IoU pickle missing"
+
+    # --vis-preds: one multi-panel jpg per sample, 2 rows x 3 cols per
+    # click, stacked across the 2 clicks (evaluate_vpumodel.py:326-427)
+    from PIL import Image
+    dumps = list((tmp_path / "logs").glob("vis/*/*.jpg"))
+    assert dumps, "qualitative dump missing"
+    img = np.asarray(Image.open(dumps[0]))
+    h, w = img.shape[:2]
+    assert img.ndim == 3 and w % 3 == 0 and h % 2 == 0, \
+        f"panel grid {img.shape}"
+
+
+@pytest.mark.slow
+def test_prepare_data_rehearsal(tmp_path):
+    """BASELINE dress rehearsal (scripts/prepare_data.py): fixtures in every
+    real dataset layout + the five BASELINE config command lines run
+    end-to-end against them (ViT-B configs here; the ViT-L/H variants are
+    the same code path via --model-size and run in the manual
+    `rehearse` without --skip-large)."""
+    r = run(["scripts/prepare_data.py", "commands"])
+    assert r.returncode == 0 and "BASELINE config 5" in r.stdout
+    r = run(["scripts/prepare_data.py", "check"])
+    assert "MISSING" in r.stdout or "PRESENT" in r.stdout
+    r = run(["scripts/prepare_data.py", "rehearse", "--out", str(tmp_path),
+             "--platform", "cpu", "--skip-large"], timeout=3000)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "ALL BASELINE commands ran end-to-end" in r.stdout
 
 
 def test_model_scripts_importable():

@@ -1026,6 +1026,235 @@ def test_click_protocol_matches_reference_eval_loop(ref_path, net_limit):
                                    err_msg=f"IoU curve (seed {seed})")
 
 
+# ---------------------------------------------------------------------------
+# PROMPT-protocol parity: the reference's OWN get_vqu_prediction loop in
+# box/scribble mode (as_prompt_type=1/2) — both prompt protocols:
+#   * as_multi_prompts=True  (_get_vqu_prediction_prompts, base.py:166-177):
+#     get_next_promts boxes + extra error click through the PPuE box encoder;
+#   * as_multi_prompts=False (_get_vqu_prediction_points, base.py:153-163):
+#     get_next_promts_inference rewrites the click tensor with box-corner /
+#     scribble-control pseudo-clicks and runs the plain click forward.
+# Randomness is pinned identically on both sides: the reference's
+# random.randint -> clamped lower bound (jitter offsets 0, first-candidate
+# picks), np.random.randint -> 0, np.random.rand -> 0, and its trainer-side
+# cv2.distanceTransform to the EXACT transform (maskSize=0 — the eval
+# clicker's own semantics; the 5x5 chamfer approximation is a documented
+# deviation, see prompt_sim.py docstring / PARITY.md); ours runs with
+# PredictorConfig.deterministic_prompts=True. Asserts per click: identical
+# prompt tensors (boxes + rewritten points, recomputed by our synthesis
+# functions from the reference's own captured inputs), identical click
+# sequences, identical IoU curves.
+# ---------------------------------------------------------------------------
+
+def _protocol_pair(num_max_points, crop=(224, 224)):
+    """Tiny reference VPU + converted params (as the click-protocol test)."""
+    from isegm.model.is_vpu_model import VitMultiGaussianVector_ed_Model
+    from isegm.model.modeling.transformer_helper.cross_entropy_loss import \
+        CrossEntropyLoss
+    from pvpuformer_tpu.models.fpn import NeckConfig
+    from pvpuformer_tpu.models.seg_head import HeadConfig
+    from pvpuformer_tpu.models.vit import ViTConfig
+    from pvpuformer_tpu.models.vpu import VPUConfig
+    from pvpuformer_tpu.utils.torch_ingest import convert_vpu_checkpoint
+
+    torch.manual_seed(5)
+    ref_model = VitMultiGaussianVector_ed_Model(
+        num_max_points=num_max_points, use_disks=True, norm_radius=5,
+        with_prev_mask=True,
+        backbone_params=dict(img_size=crop, patch_size=(16, 16), in_chans=3,
+                             embed_dim=768, depth=4, num_heads=12),
+        neck_params=dict(in_dim=768, out_dims=[128, 256, 512, 1024],
+                         img_size=list(crop)),
+        head_params=dict(in_channels=[128, 256, 512, 1024],
+                         in_index=[0, 1, 2, 3], dropout_ratio=0.1,
+                         num_classes=1, loss_decode=CrossEntropyLoss(),
+                         align_corners=False, upsample="x1", ed_loss=True,
+                         channels=256),
+        random_split=False, residual=True, with_aux_output=True).eval()
+    with torch.no_grad():
+        ref_model.backbone.pos_embed.normal_(0, 0.02)
+    cfg = VPUConfig(
+        backbone=ViTConfig(img_size=crop, patch_size=(16, 16), embed_dim=768,
+                           depth=4, num_heads=12),
+        neck=NeckConfig(in_dim=768, out_dims=(128, 256, 512, 1024),
+                        img_size=crop),
+        head=HeadConfig(in_channels=(128, 256, 512, 1024), channels=256,
+                        upsample="x1"),
+        num_max_points=num_max_points)
+    params = convert_vpu_checkpoint(_sd(ref_model), cfg)
+    return ref_model, cfg, params
+
+
+def _synth_sample(seed, h=96, w=128):
+    r = np.random.default_rng(seed)
+    image = (r.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+    yy, xx = np.mgrid[:h, :w]
+    cy, cx = r.integers(h // 4, 3 * h // 4), r.integers(w // 4, 3 * w // 4)
+    ry, rx = r.integers(12, h // 3), r.integers(12, w // 3)
+    gt = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0)
+    return image, gt.astype(np.int32)
+
+
+def _embed_half(pts: np.ndarray, m: int) -> np.ndarray:
+    """(B, 2k, 3) -> (B, 2m, 3): each half padded to m with -1 rows (the
+    reference's dynamic tensor embedded into a wider fixed layout; -1 rows
+    and end-padding rows encode to the same not-a-point PPuE vector)."""
+    b, twok, _ = pts.shape
+    k = twok // 2
+    out = np.full((b, 2 * m, 3), -1.0, np.float32)
+    out[:, :k] = pts[:, :k]
+    out[:, m:m + k] = pts[:, k:]
+    return out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("prompt_mode,as_multi", [(1, True), (1, False),
+                                                  (2, False)])
+def test_prompt_protocol_matches_reference_eval_loop(ref_path, prompt_mode,
+                                                     as_multi, monkeypatch):
+    import cv2
+    import random as pyrandom
+    import jax
+    import jax.numpy as jnp
+    from isegm.inference.clicker import Clicker
+    from isegm.inference.predictors.base import BasePredictor
+    from isegm.inference.predictors import base as ref_base
+    from isegm.inference.transforms import ZoomIn
+    from isegm.inference.utils import get_iou as ref_get_iou
+
+    from pvpuformer_tpu.engine.prompt_sim import synth_boxes
+    from pvpuformer_tpu.inference.predictor import (
+        Predictor, PredictorConfig, _append_error_click, _rewrite_points_box,
+        _rewrite_points_scribble)
+
+    # --- pin every random draw identically on both sides ---
+    monkeypatch.setattr(pyrandom, "randint", lambda a, b: min(max(a, 0), b))
+    monkeypatch.setattr(np.random, "randint", lambda a, b=None, **k: 0)
+    monkeypatch.setattr(np.random, "rand", lambda *a: 0.0)
+    real_dt = cv2.distanceTransform
+    monkeypatch.setattr(cv2, "distanceTransform",
+                        lambda src, dtype, ms: real_dt(src, dtype, 0))
+
+    nmp = 12                    # roomy half: N_dyn + scribble K=7 must fit
+    crop = (224, 224)
+    ref_model, cfg, params = _protocol_pair(nmp, crop)
+
+    # --- capture the reference's own prompt-synthesis inputs/outputs ---
+    records = []
+    if as_multi:
+        real_fn = ref_base.get_next_promts
+
+        def wrap(prev, gt, points, **kw):
+            out = real_fn(prev, gt, points, **kw)
+            records.append((prev.detach().numpy().copy(),
+                            gt.detach().numpy().copy(),
+                            points.detach().numpy().copy(),
+                            out[0].detach().numpy().copy(),
+                            out[1].detach().numpy().copy()))
+            return out
+        monkeypatch.setattr(ref_base, "get_next_promts", wrap)
+    else:
+        real_fn = ref_base.get_next_promts_inference
+
+        def wrap(prev, gt, points, **kw):
+            out = real_fn(prev, gt, points, **kw)
+            records.append((prev.detach().numpy().copy(),
+                            gt.detach().numpy().copy(),
+                            points.detach().numpy().copy(),
+                            out[0].detach().numpy().copy()))
+            return out
+        monkeypatch.setattr(ref_base, "get_next_promts_inference", wrap)
+
+    pcfg = PredictorConfig(model=cfg, target_size=crop, with_flip=True,
+                           skip_clicks=-1, min_crop_size=200,
+                           prompt_mode=prompt_mode, as_multi_prompts=as_multi,
+                           deterministic_prompts=True)
+    ours = Predictor(params, pcfg)
+
+    max_clicks = 4
+    for seed in range(2):
+        del records[:]
+        image, gt = _synth_sample(seed)
+
+        # the reference's own eval round (vpu_evaluation.py:35-98 with the
+        # prompt type switched on — its commented-out variants, 49-77)
+        zoom_in = ZoomIn(skip_clicks=-1, target_size=crop)
+        ref_pred = BasePredictor(ref_model, "cpu", zoom_in=zoom_in,
+                                 with_flip=True)
+        clicker = Clicker(gt_mask=gt)
+        pred_mask = np.zeros_like(gt)
+        ref_ious = []
+        with torch.no_grad():
+            ref_pred.set_input_image(image)
+            for click_indx in range(max_clicks):
+                clicker.make_next_click(pred_mask)
+                probs, _ = ref_pred.get_vqu_prediction(
+                    clicker, gt_mask=gt, as_prompt_type=prompt_mode,
+                    click_indx=click_indx, as_multi_prompts=as_multi)
+                pred_mask = probs > 0.49
+                ref_ious.append(ref_get_iou(gt, pred_mask))
+        ref_seq = [(bool(c.is_positive), int(c.coords[0]), int(c.coords[1]))
+                   for c in clicker.clicks_list]
+
+        ours.set_input(image, gt.astype(np.float32))
+        our_ious = ours.run_clicks(max_clicks)
+        pts = ours.clicks
+        n = pts.shape[0] // 2
+        our_seq = [(bool(i < n), int(pts[i, 0]), int(pts[i, 1]))
+                   for i in np.argsort(pts[:, 2]) if pts[i, 2] >= 0]
+
+        # --- per-click prompt tensors: our synthesis on the reference's own
+        # captured (prev, gt, points) must reproduce its outputs exactly ---
+        assert len(records) == max_clicks
+        for ci, rec in enumerate(records):
+            prev_j = jnp.asarray(rec[0][:, 0])
+            gt_j = jnp.asarray(rec[1][:, 0])
+            pts_in = rec[2].astype(np.float32)
+            pts_j = jnp.asarray(pts_in)
+            n_dyn = pts_in.shape[1] // 2
+            key = jax.random.key(0)
+            if as_multi:
+                ref_pts_out, ref_boxes = rec[3], rec[4]
+                gtb = gt_j > 0.5
+                fn = gtb & (prev_j < 0.49)
+                fp = (~gtb) & (prev_j > 0.49)
+                boxes_ours = synth_boxes(gt_j, fn, fp, pts_j, key,
+                                         as_allmask=False, jitter=False,
+                                         n_dyn=n_dyn)
+                np.testing.assert_array_equal(
+                    np.asarray(boxes_ours), ref_boxes,
+                    err_msg=f"boxes (seed {seed}, click {ci})")
+                pts_ours = _append_error_click(prev_j, gt_j, pts_j,
+                                               jnp.int32(n_dyn), key, True,
+                                               0.49)
+                np.testing.assert_array_equal(
+                    np.asarray(pts_ours), rec[3].astype(np.float32),
+                    err_msg=f"PPuE points (seed {seed}, click {ci})")
+            else:
+                ref_vpu = rec[3].astype(np.float32)
+                mr = ref_vpu.shape[1] // 2
+                m = n_dyn + 7
+                padded = jnp.asarray(_embed_half(pts_in, m))
+                gtb = gt_j > 0.5
+                first = jnp.asarray(ci == 0)
+                if prompt_mode == 1:
+                    out = _rewrite_points_box(padded, gtb, key,
+                                              jnp.int32(n_dyn), first, True)
+                else:
+                    out = _rewrite_points_scribble(padded, gtb, key,
+                                                   jnp.int32(n_dyn), first,
+                                                   True)
+                np.testing.assert_array_equal(
+                    np.asarray(out), _embed_half(ref_vpu, m),
+                    err_msg=f"rewritten points (seed {seed}, click {ci})")
+
+        assert our_seq == ref_seq, \
+            f"click sequences diverge (seed {seed}, mode {prompt_mode}/{as_multi})"
+        np.testing.assert_allclose(our_ious[:len(ref_ious)],
+                                   np.asarray(ref_ious), atol=1e-6,
+                                   err_msg=f"IoU curve (seed {seed})")
+
+
 def _rand_pred_label(rng, shape=(3, 1, 17, 19), with_ignore=True):
     logits = rng.normal(size=shape).astype(np.float32) * 3
     label = (rng.random(shape) > 0.6).astype(np.float32)
