@@ -115,8 +115,7 @@ def _mha(p, q, k, v, heads: int):
         b = in_proj.get("b")
 
         def proj(x, i):
-            y = jnp.dot(x, w[:, i * d:(i + 1) * d],
-                        preferred_element_type=jnp.float32).astype(x.dtype)
+            y = nn.mxu_dot(x, w[:, i * d:(i + 1) * d].astype(x.dtype))
             if b is not None:
                 y = y + b[i * d:(i + 1) * d].astype(x.dtype)
             return y

@@ -19,6 +19,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import nn
 from ..ops.resize import bilinear_resize
@@ -65,7 +66,11 @@ def init_head(key, cfg: HeadConfig) -> Dict[str, Any]:
             "gn2": nn.init_group_norm(oc // 4),
         }
     if cfg.ed_loss:
-        p["logit_scale"] = jnp.asarray(jnp.log(1.0 / 0.07))
+        # strong-typed scalar: a weak-typed leaf here changes dtype identity
+        # after the first optimizer step (weak f32 -> strong f32), which made
+        # every jitted train_step recompile TWICE (params, then adam mu/nu)
+        # before the cache stabilized — ~10-18 min of wasted TPU compiles.
+        p["logit_scale"] = jnp.asarray(np.log(1.0 / 0.07), jnp.float32)
         p["ffn"] = {"fc1": nn.init_linear(ks[n + 6], cfg.d_model, cfg.d_model * 2),
                     "fc2": nn.init_linear(ks[n + 7], cfg.d_model * 2, oc)}
     return p
@@ -113,8 +118,10 @@ def head_forward(params, cfg: HeadConfig, inputs: List[jnp.ndarray],
         fn_ = feat * jax.lax.rsqrt(
             jnp.sum(jnp.square(feat.astype(jnp.float32)), -1, keepdims=True) + 1e-24
         ).astype(feat.dtype)
-        sim = jnp.einsum("blc,bnc->bnl", qn, fn_,
-                         preferred_element_type=jnp.float32)
+        # dtype-dispatching einsum: the f32-out form also dragged the aux
+        # upsample + BCE into f32 (the P2CL tail is ~600 MB/step of HBM
+        # traffic at b8 448^2 — trace-measured, round 3)
+        sim = nn.mxu_einsum("blc,bnc->bnl", qn, fn_)
         logits = ((sim + 1.0) / 2.0).reshape(b, h, w, -1)
 
     feat_seg = out

@@ -57,6 +57,30 @@ def kaiming_uniform(key, shape, dtype=jnp.float32, fan_in=None):
 # linear / mlp
 # ---------------------------------------------------------------------------
 
+def mxu_dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """dot with dtype-correct MXU accumulation.
+
+    bf16 inputs: emit a bf16-out dot. The TPU MXU accumulates bf16 products
+    in f32 either way and rounds once on output, so this is numerically the
+    `preferred_element_type=f32` + astype(bf16) form — but the output AVAL
+    is bf16, so the backward cotangent stays bf16 and the two VJP matmuls
+    (dx, dW) run at bf16 MXU rate. With the f32-out form every
+    activation-grad matmul in the train step silently ran f32 (trace-
+    measured: 22 ms/step of linear backward at ViT-B@448 b8).
+    f32/f64 inputs keep explicit f32 accumulation (parity paths).
+    """
+    if x.dtype == jnp.bfloat16:
+        return jnp.dot(x, w)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def mxu_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """einsum with the same dtype policy as mxu_dot (see its docstring)."""
+    if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16:
+        return jnp.einsum(spec, a, b)
+    return jnp.einsum(spec, a, b,
+                      preferred_element_type=jnp.float32).astype(a.dtype)
+
 def init_linear(key, in_dim: int, out_dim: int, bias: bool = True,
                 init: str = "torch") -> Params:
     kw, kb = jax.random.split(key)
@@ -75,8 +99,7 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True,
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "w_q" in p:
         return _linear_int8(p, x)
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
-    y = y.astype(x.dtype)
+    y = mxu_dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -301,8 +324,7 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
 
 def conv1x1(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Pointwise conv as a matmul (MXU)."""
-    y = jnp.dot(x, p["w"].reshape(p["w"].shape[-2], p["w"].shape[-1]).astype(x.dtype),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+    y = mxu_dot(x, p["w"].reshape(p["w"].shape[-2], p["w"].shape[-1]).astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -337,7 +359,7 @@ def deconv2x2(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """
     b, h, w, cin = x.shape
     wmat = p["w"].reshape(cin, -1).astype(x.dtype)          # (cin, 4*out)
-    y = jnp.dot(x, wmat, preferred_element_type=jnp.float32).astype(x.dtype)
+    y = mxu_dot(x, wmat)
     out = y.shape[-1] // 4
     y = y.reshape(b, h, w, 2, 2, out)
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, out)
@@ -383,13 +405,38 @@ def patch_embed(p: Params, x: jnp.ndarray, patch: Tuple[int, int]) -> jnp.ndarra
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, ph * pw * c)
     if "w_q" in p:                      # int8-quantized deployment params
         return _linear_int8(p, x)
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
-    return (y + p["b"]).astype(x.dtype)
+    y = mxu_dot(x, p["w"].astype(x.dtype))
+    return y + p["b"].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
 # attention (dense path; the Pallas flash kernel lives in ops/attention.py)
 # ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _softmax_bf16(logits: jnp.ndarray) -> jnp.ndarray:
+    """Last-axis softmax: f32 math in-register, bf16 in/out AND bf16
+    residual. jax.nn.softmax on upcast logits saves its f32 output for the
+    VJP — at ViT-B@448 train shapes that is a 59 MB f32 copy per windowed
+    block per step (trace-measured). Here the VJP keeps everything bf16
+    with f32 reductions only."""
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+        logits.dtype)
+
+
+def _softmax_bf16_fwd(logits):
+    p = _softmax_bf16(logits)
+    return p, p
+
+
+def _softmax_bf16_bwd(p, g):
+    pf = p.astype(jnp.float32)
+    s = jnp.sum(pf * g.astype(jnp.float32), axis=-1, keepdims=True)
+    return ((g.astype(jnp.float32) - s) * pf).astype(p.dtype),
+
+
+_softmax_bf16.defvjp(_softmax_bf16_fwd, _softmax_bf16_bwd)
+
 
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
          scale: Optional[float] = None) -> jnp.ndarray:
@@ -403,7 +450,13 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # dtype: under bf16 compute this halves the score-matrix HBM traffic
     # (the dominant non-matmul cost at ViT-B@448 shapes — 0.5 ms/click
     # measured) and the rounding is below bf16 output noise. f32/f64 inputs
-    # are unchanged (the cast is identity). Softmax math stays f32.
+    # are unchanged (the cast is identity). Softmax math stays f32, but in
+    # bf16 the saved residual and the VJP run in bf16 (_softmax_bf16) —
+    # the f32 prob residuals were 59 MB/layer copies in the train trace.
+    if q.dtype == jnp.bfloat16:
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * jnp.bfloat16(scale)
+        probs = _softmax_bf16(logits)
+        return jnp.einsum("...hqk,...khd->...qhd", probs, v)
     logits = (jnp.einsum("...qhd,...khd->...hqk", q, k,
                          preferred_element_type=jnp.float32)
               * scale).astype(q.dtype)

@@ -50,14 +50,18 @@ def polyline_mask(h: int, w: int, samples: jnp.ndarray) -> jnp.ndarray:
     the scattered samples by a radius-2 disk."""
     cols = jnp.clip(samples[:, 0].astype(jnp.int32), 0, w - 1)
     rows = jnp.clip(samples[:, 1].astype(jnp.int32), 0, h - 1)
-    base = jnp.zeros((h, w), jnp.float32).at[rows, cols].set(1.0, mode="drop")
-    d = jnp.arange(-2, 3)
-    disk = ((d[:, None] ** 2 + d[None, :] ** 2) <= 4).astype(jnp.float32)
-    dil = jax.lax.conv_general_dilated(
-        base[None, :, :, None], disk[:, :, None, None], (1, 1),
-        ((2, 2), (2, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)[0, :, :, 0]
-    return (dil > 0).astype(jnp.float32)
+    base = jnp.zeros((h, w), jnp.bool_).at[rows, cols].set(True, mode="drop")
+    # dilation by the radius-2 disk as an OR of its 13 static shifts: a C=1
+    # 5x5 conv is degenerate on the TPU conv unit (trace: 1.4 ms + a 1.1 ms
+    # layout copy per train round at b8 448^2); the shifted-slice max fuses
+    # into one elementwise kernel. Bit-identical to conv > 0.
+    pad = jnp.pad(base, 2)
+    acc = base
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            if dy * dy + dx * dx <= 4 and (dy, dx) != (0, 0):
+                acc = acc | pad[2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w]
+    return acc.astype(jnp.float32)
 
 
 def draw_box_into_coords(coords: jnp.ndarray, boxes: jnp.ndarray,

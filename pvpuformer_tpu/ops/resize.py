@@ -63,14 +63,24 @@ def bilinear_matrix(src_hw: Tuple[int, int], dst_hw: Tuple[int, int],
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "align_corners"))
 def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int,
                     align_corners: bool = False) -> jnp.ndarray:
-    """NHWC bilinear resize with torch `F.interpolate` semantics."""
+    """NHWC bilinear resize with torch `F.interpolate` semantics.
+
+    bf16 inputs interpolate in bf16 (f32 MXU accumulation via
+    preferred_element_type): the output is bf16 anyway, and the f32
+    round-trip would MATERIALIZE f32 intermediates — at the P²CL training
+    shapes (8,112,112,48)->(8,448,448,48) that is ~600 MB of extra HBM
+    traffic per direction per step (trace-measured, round 3). Interp-weight
+    rounding to bf16 sits below the output's own bf16 quantization. f32/f64
+    inputs (all parity/oracle paths) keep exact f32 math.
+    """
     b, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
+    ct = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     mh, mw = bilinear_matrix((h, w), (out_h, out_w), align_corners)
-    y = jnp.einsum("Oh,bhwc->bOwc", mh.astype(jnp.float32), x.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
-    y = jnp.einsum("Pw,bhwc->bhPc", mw.astype(jnp.float32), y,
+    y = jnp.einsum("Oh,bhwc->bOwc", mh.astype(ct), x.astype(ct),
+                   preferred_element_type=jnp.float32).astype(ct)
+    y = jnp.einsum("Pw,bhwc->bhPc", mw.astype(ct), y,
                    preferred_element_type=jnp.float32)
     return y.astype(x.dtype)
 

@@ -72,7 +72,8 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax.numpy as jnp
-    from pvpuformer_tpu.models.vpu import vpu_base_config
+    from pvpuformer_tpu.models.vpu import (vpu_base_config, vpu_huge_config,
+                                           vpu_large_config)
 
     base = vpu_base_config(dtype=jnp.bfloat16)
     out = {}
@@ -81,6 +82,12 @@ def main() -> None:
         mcfg, int8, pov = base, False, None
         if v == "base":
             pass
+        elif v in ("large", "large_int8", "huge", "huge_int8"):
+            # BASELINE configs 4/5 serving rows (zoo constructors wired
+            # through the same A/B protocol — VERDICT round-2 ask #7)
+            mcfg = (vpu_large_config if v.startswith("large")
+                    else vpu_huge_config)(dtype=jnp.bfloat16)
+            int8 = v.endswith("_int8")
         elif v == "edt_none":
             pov = {"edt_chunk": None}
         elif v == "edt_pallas":

@@ -72,6 +72,37 @@ def lane_tables(events, pid_names, tid_names):
     return out
 
 
+# train-step attribution buckets keyed on the op's `source` metadata
+# (file:line the op was traced from — the jax name-stack in tf_op is too
+# shallow after XLA fusion, but source survives). First hit wins.
+_TRAIN_SOURCE_BUCKETS = [
+    ("optimizer (adam+lrd)", ("optax/", "engine/optimizer.py")),
+    ("metric (iou@thr)", ("engine/metrics.py",)),
+    ("EDT next-click", ("ops/edt.py", "ops/edt_pallas.py")),
+    ("box synth (cc+bbox)", ("ops/cc_pallas.py",)),
+    ("prompt sim (clicks/boxes/ed)", ("engine/prompt_sim.py",)),
+    ("PPuE encode", ("ops/ppue.py",)),
+    ("disk rasterize", ("ops/rasterize.py",)),
+    ("loss assembly", ("engine/losses.py",)),
+    ("model: vit", ("models/vit.py",)),
+    ("model: neck (DMA)", ("models/fpn.py", "models/two_way.py",
+                           "models/decoder.py")),
+    ("model: head (+P2CL)", ("models/seg_head.py",)),
+    ("model: nn prims", ("pvpuformer_tpu/nn.py",)),
+    ("resize", ("ops/resize.py",)),
+    ("step glue (concat/sigmoid)", ("engine/train_step.py",)),
+    ("model: vpu io", ("models/vpu.py",)),
+    ("rng", ("jax/_src/random", "jax/_src/prng")),
+]
+
+
+def bucket_of(source: str, tf_op: str = "") -> str:
+    for label, keys in _TRAIN_SOURCE_BUCKETS:
+        if any(k in source for k in keys):
+            return label
+    return "(other)"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=40)
@@ -82,7 +113,24 @@ def main() -> None:
     ap.add_argument("--raw", action="store_true",
                     help="rank individual HLO ops (no family grouping) and "
                          "show their metadata args")
+    ap.add_argument("--train", action="store_true",
+                    help="trace ONE jitted train_step (ViT-B@448 b8 bf16, "
+                         "--iters rounds) instead of the click program, and "
+                         "bucket device time by the op_name path — the "
+                         "'where do the 73 ms/step go' view")
+    ap.add_argument("--iters", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=4,
+                    help="train steps inside the traced window")
+    ap.add_argument("--parse-dir", default=None,
+                    help="re-analyze a kept --train trace dir without "
+                         "re-running on the TPU")
     args = ap.parse_args()
+
+    if args.parse_dir:
+        return report_train_trace(args.parse_dir, args)
+    if args.train:
+        return trace_train(args)
 
     import jax
     import jax.numpy as jnp
@@ -153,6 +201,113 @@ def main() -> None:
                   f"{100 * ms / max(total, 1e-9):6.1f}")
     if args.keep:
         print(f"\ntrace dir: {log_dir}")
+
+
+def trace_train(args) -> None:
+    """Trace `--steps` jitted train_steps and attribute device-lane op time
+    to the _TRAIN_BUCKETS categories via the op_name metadata path. This is
+    the round-3 'attribute the ~35 ms/round outside the model' tool
+    (VERDICT weak #1): the table should sum to ~100% of the measured
+    step time from scripts/profile_train.py."""
+    import jax
+    import jax.numpy as jnp
+    from pvpuformer_tpu.engine.optimizer import make_optimizer
+    from pvpuformer_tpu.engine.train_step import TrainConfig, train_step
+    from pvpuformer_tpu.models.vpu import vpu_base_config, init_vpu
+
+    b, hw = args.batch, 448
+    mcfg = vpu_base_config(crop=(hw, hw), dtype=jnp.bfloat16)
+    cfg = TrainConfig(model=mcfg, remat=False)
+    params = init_vpu(jax.random.key(0), mcfg)
+    tx = make_optimizer(params, "adam", lr=5e-5, milestones=(190, 210),
+                        gamma=0.1, steps_per_epoch=100)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    gt = np.zeros((b, hw, hw, 1), np.float32)
+    gt[:, hw // 4: hw // 2, hw // 4: hw // 2] = 1.0
+    points = np.full((b, 48, 3), -1.0, np.float32)
+    points[:, 0] = (hw // 3, hw // 3, 0)
+    batch = {
+        "image": jnp.asarray(rng.uniform(size=(b, hw, hw, 3)), jnp.float32),
+        "instances": jnp.asarray(gt),
+        "points": jnp.asarray(points),
+        "scribbles": jnp.zeros((b, 1000, 2), jnp.float32),
+        "scribble_rects": jnp.zeros((b, 4), jnp.float32),
+    }
+    thr = jnp.asarray([0.4, 0.375, 0.425])
+
+    def run(params, opt_state, seed):
+        params, opt_state, logs, _, _ = train_step(
+            params, opt_state, batch, jax.random.key(seed), thr,
+            cfg=cfg, tx=tx, num_iters=args.iters)
+        return params, opt_state, logs
+
+    params, opt_state, logs = run(params, opt_state, 1)   # compile + warm
+    np.asarray(logs["loss"])
+
+    log_dir = tempfile.mkdtemp(prefix="train_trace_")
+    # silence the host/python tracers: with them on, the host lane floods
+    # the Chrome trace past its 1M-event cap and the device-op events get
+    # truncated away (observed: 6 device events survived out of 1e6).
+    opts = None
+    if hasattr(jax.profiler, "ProfileOptions"):
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = 1
+        opts.python_tracer_level = 0
+    jax.profiler.start_trace(log_dir, profiler_options=opts)
+    for s in range(args.steps):
+        params, opt_state, logs = run(params, opt_state, 2 + s)
+    np.asarray(logs["loss"])
+    jax.profiler.stop_trace()
+
+    print(f"# train_step ViT-B@{hw} b{b} bf16 num_iters={args.iters}, "
+          f"{args.steps} steps traced")
+    report_train_trace(log_dir, args)
+    if args.keep:
+        print(f"\ntrace dir: {log_dir}")
+
+
+def report_train_trace(log_dir: str, args) -> None:
+    """Bucket device-lane op time by the `source` metadata (file:line)."""
+    events, pid_names, tid_names = load_trace_events(log_dir)
+    buckets = collections.Counter()
+    fwd_bwd = collections.Counter()
+    raw = collections.Counter()
+    raw_meta = {}
+    for ev in events:
+        lane = tid_names.get((ev.get("pid"), ev.get("tid")), "")
+        if lane != "XLA Ops":
+            continue
+        name = ev.get("name", "")
+        # control-flow wrappers re-count their executed branch's ops (the
+        # children appear separately in the lane) — skip the containers
+        if name.startswith(("while", "conditional", "call")):
+            continue
+        a = ev.get("args") or {}
+        src = str(a.get("source") or "")
+        tf_op = str(a.get("tf_op") or "")
+        dur = ev.get("dur", 0) / 1e3
+        bk = bucket_of(src, tf_op)
+        buckets[bk] += dur
+        fwd_bwd["backward" if "transpose(" in tf_op else "forward"] += dur
+        raw[name] += dur
+        raw_meta.setdefault(name, (src, tf_op, str(a.get("long_name"))[:100]))
+
+    total = sum(buckets.values())
+    n = args.steps
+    print(f"device op time: {total:.2f} ms total, {total / n:.2f} ms/step\n")
+    print(f"{'bucket':<30} {'ms/step':>9} {'%':>6}")
+    for name, ms in buckets.most_common():
+        print(f"{name:<30} {ms / n:9.2f} {100 * ms / total:6.1f}")
+    print(f"\nforward {fwd_bwd['forward'] / n:.2f} ms/step, "
+          f"backward(+transpose) {fwd_bwd['backward'] / n:.2f} ms/step")
+    print(f"\ntop {args.top} raw ops:")
+    for name, ms in raw.most_common(args.top):
+        src, tf_op, long = raw_meta[name]
+        print(f"{ms / n:8.3f} ms/step  [{bucket_of(src, tf_op):<22}] {name}")
+        print(f"           src={src}  op={tf_op[:80]}")
+        print(f"           {long}")
 
 
 if __name__ == "__main__":

@@ -464,3 +464,40 @@ def test_cc_pallas_impl_switch_regions():
     keep = (lab == sizes.argmax()) | (sizes[lab] > 0.1 * m.sum())
     keep &= m
     np.testing.assert_array_equal(keep, cc_keep_oracle(m))
+
+
+def test_init_params_have_no_weak_typed_leaves():
+    """A weak-typed init leaf changes dtype identity after the first
+    optimizer step (weak f32 -> strong f32), so every jitted train_step
+    recompiled TWICE (params, then adam mu/nu) before its cache stabilized
+    — ~10-18 min of wasted TPU compile per train run (seg_head logit_scale
+    regression, round 3). Every registered family must init strong-typed."""
+    from pvpuformer_tpu.models import registry
+    from pvpuformer_tpu.models.vpu import init_vpu
+
+    params = init_vpu(jax.random.key(0), tiny_cfg())
+    weak = [jax.tree_util.keystr(p)
+            for p, l in jax.tree_util.tree_leaves_with_path(params)
+            if getattr(l, "weak_type", False)]
+    assert weak == [], f"weak-typed init leaves: {weak}"
+
+
+def test_train_step_compiles_once():
+    """The jit cache must not grow across steps of the same shape/config —
+    the regression above showed up as cache_size 1 -> 2 -> 3."""
+    mcfg = tiny_cfg()
+    cfg = TrainConfig(model=mcfg, remat=False)
+    from pvpuformer_tpu.models.vpu import init_vpu
+    params = init_vpu(jax.random.key(0), mcfg)
+    tx = OPT.make_optimizer(params, "adam", lr=5e-5, milestones=(190, 210),
+                            gamma=0.1, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(0, b=2).items()}
+    thr = jnp.asarray([0.4, 0.375, 0.425])
+    before = train_step._cache_size()
+    for s in range(3):
+        params, opt_state, logs, _, _ = train_step(
+            params, opt_state, batch, jax.random.key(s), thr,
+            cfg=cfg, tx=tx, num_iters=1)
+        np.asarray(logs["loss"])
+    assert train_step._cache_size() == before + 1
