@@ -215,11 +215,58 @@ def init_layer_norm(dim: int) -> Params:
     return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln_bf16(x, scale, bias, eps):
+    """LayerNorm for bf16 activations: f32 math in-register, bf16 residuals.
+
+    Plain autodiff through the f32-math LayerNorm saves f32 linearization
+    residuals (the centered input, etc.) — at ViT-B@448 train shapes that is
+    ~19 MB of f32 HBM per LN per block per direction. Here the VJP saves the
+    bf16 x (lossless — x IS bf16) plus the tiny per-token f32 (mean, rsqrt)
+    and recomputes x̂ in the backward, so all large tensors stay bf16. The
+    backward formula is the exact analytic LN gradient; recomputing x̂ from
+    the saved f32 mean/inv is bitwise what autodiff would have read back."""
+    return _ln_bf16_fwd(x, scale, bias, eps)[0]
+
+
+def _ln_bf16_fwd(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * inv
+    out = (y * scale + bias).astype(x.dtype)
+    return out, (x, mean, inv, scale)
+
+
+def _ln_bf16_bwd(eps, res, g):
+    x, mean, inv, scale = res
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    xhat = (xf - mean) * inv
+    lead = tuple(range(x.ndim - 1))
+    dscale = jnp.sum(gf * xhat, axis=lead)
+    dbias = jnp.sum(gf, axis=lead)
+    dxhat = gf * scale
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = ((dxhat - m1 - xhat * m2) * inv).astype(x.dtype)
+    return dx, dscale, dbias
+
+
+_ln_bf16.defvjp(_ln_bf16_fwd, _ln_bf16_bwd)
+
+
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6,
                f32: bool = True) -> jnp.ndarray:
     """torch-parity LayerNorm. f32=False normalizes in the input dtype —
     an inference-speed option (the f32 round trips cost ~36 convert+reduce
-    fusions per ViT-B click); keep f32=True for training/parity."""
+    fusions per ViT-B click); keep f32=True for training/parity. bf16
+    inputs with f32 math route through _ln_bf16 (identical forward, bf16
+    VJP residuals); f32/f64 parity paths keep plain autodiff."""
+    if f32 and x.dtype == jnp.bfloat16:
+        return _ln_bf16(x, p["scale"].astype(jnp.float32),
+                        p["bias"].astype(jnp.float32), eps)
     xf = x.astype(jnp.float32) if f32 else x
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -430,9 +477,16 @@ def _softmax_bf16_fwd(logits):
 
 
 def _softmax_bf16_bwd(p, g):
-    pf = p.astype(jnp.float32)
-    s = jnp.sum(pf * g.astype(jnp.float32), axis=-1, keepdims=True)
-    return ((g.astype(jnp.float32) - s) * pf).astype(p.dtype),
+    # s = Σ_k p·g as a batched dot_general with f32 accumulation: XLA fused
+    # the naive `sum(pf * gf)` with its elementwise consumer and materialized
+    # the converted f32 tensor (59 MB at the global-attention train shapes,
+    # trace-observed). The dot reads p and g in bf16; bf16×bf16 products are
+    # exact in f32, so s is bitwise the naive form's value.
+    nd = p.ndim
+    batch = tuple(range(nd - 1))
+    s = jax.lax.dot_general(p, g, (((nd - 1,), (nd - 1,)), (batch, batch)),
+                            preferred_element_type=jnp.float32)[..., None]
+    return ((g.astype(jnp.float32) - s) * p.astype(jnp.float32)).astype(p.dtype),
 
 
 _softmax_bf16.defvjp(_softmax_bf16_fwd, _softmax_bf16_bwd)

@@ -72,10 +72,15 @@ def draw_box_into_coords(coords: jnp.ndarray, boxes: jnp.ndarray,
     b, h, w, _ = coords.shape
 
     def one(coord, box):
+        # cast the 0/1 mask to the coord dtype (exact): maximum() would
+        # otherwise promote the coord channels to f32, and that f32 leaks
+        # through the coord patch-embed `x + additional` into EVERY ViT
+        # block — the whole bf16 train step silently ran f32 (found by the
+        # round-3 train trace; inference prompt_type=0 never hits this).
         mask = box_outline_mask(h, w, (box[0], box[1], box[2], box[3]))
         ch = (box[4] >= num_points).astype(jnp.int32)   # 0 = pos, 1 = neg
         sel = jax.nn.one_hot(ch, 2, dtype=coord.dtype)  # (2,)
-        drawn = jnp.maximum(coord, mask[:, :, None])
+        drawn = jnp.maximum(coord, mask[:, :, None].astype(coord.dtype))
         return coord * (1 - sel) + drawn * sel
 
     return jax.vmap(one)(coords, boxes.astype(jnp.float32))
@@ -88,8 +93,9 @@ def draw_scribble_into_coords(coords: jnp.ndarray,
     b, h, w, _ = coords.shape
 
     def one(coord, s):
+        # same dtype discipline as draw_box_into_coords: 0/1 mask, exact cast
         mask = polyline_mask(h, w, s)
-        pos = jnp.maximum(coord[:, :, 0], mask)
+        pos = jnp.maximum(coord[:, :, 0], mask.astype(coord.dtype))
         return jnp.stack([pos, coord[:, :, 1]], axis=-1)
 
     return jax.vmap(one)(coords, scribbles.astype(jnp.float32))

@@ -43,3 +43,55 @@ def test_flash_grad_matches_sdpa():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
                                    rtol=1e-4)
+
+
+# ------------------------------------------------------- bf16 custom VJPs
+
+def test_ln_bf16_custom_vjp_matches_f64_autodiff():
+    """layer_norm's bf16 path (_ln_bf16: bf16 residuals, analytic backward)
+    must produce the same gradients as plain autodiff through the f64 LN on
+    the identical (bf16-valued) inputs, to bf16 output precision."""
+    r = rng(7)
+    d = 96
+    x = jnp.asarray(r.standard_normal((4, 33, d)) * 2.0, jnp.bfloat16)
+    p = {"scale": jnp.asarray(r.uniform(0.5, 1.5, d), jnp.float32),
+         "bias": jnp.asarray(r.standard_normal(d) * 0.1, jnp.float32)}
+    w = jnp.asarray(r.standard_normal((4, 33, d)), jnp.bfloat16)
+
+    def loss_ours(x, p):
+        return jnp.sum((nn.layer_norm(p, x) * w).astype(jnp.float32))
+
+    def loss_ref(x64, p64):
+        xf = x64
+        mean = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), -1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+        return jnp.sum((y * p64["scale"] + p64["bias"]) * w.astype(jnp.float64))
+
+    gx, gp = jax.grad(loss_ours, argnums=(0, 1))(x, p)
+    x64 = x.astype(jnp.float64)
+    p64 = jax.tree.map(lambda a: a.astype(jnp.float64), p)
+    rx, rp = jax.grad(loss_ref, argnums=(0, 1))(x64, p64)
+
+    np.testing.assert_allclose(np.asarray(gx, np.float64), np.asarray(rx),
+                               atol=0.02, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(gp["scale"]), np.asarray(rp["scale"]),
+                               atol=0.15, rtol=0.02)
+    np.testing.assert_allclose(np.asarray(gp["bias"]), np.asarray(rp["bias"]),
+                               atol=0.15, rtol=0.02)
+
+
+def test_softmax_bf16_vjp_matches_f64_autodiff():
+    """sdpa's bf16 softmax (_softmax_bf16 custom VJP, dot_general-reduced
+    backward) vs autodiff through an f64 softmax on identical values."""
+    r = rng(8)
+    logits = jnp.asarray(r.standard_normal((2, 3, 40, 40)) * 3.0, jnp.bfloat16)
+    w = jnp.asarray(r.standard_normal((2, 3, 40, 40)), jnp.bfloat16)
+
+    g = jax.grad(lambda l: jnp.sum(
+        (nn._softmax_bf16(l) * w).astype(jnp.float32)))(logits)
+    ref = jax.grad(lambda l: jnp.sum(
+        jax.nn.softmax(l, -1) * w.astype(jnp.float64)))(
+        logits.astype(jnp.float64))
+    np.testing.assert_allclose(np.asarray(g, np.float64), np.asarray(ref),
+                               atol=0.005, rtol=0.05)

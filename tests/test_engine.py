@@ -501,3 +501,39 @@ def test_train_step_compiles_once():
             cfg=cfg, tx=tx, num_iters=1)
         np.asarray(logs["loss"])
     assert train_step._cache_size() == before + 1
+
+
+def test_train_step_attention_stays_bf16():
+    """bf16 configs must keep bf16 activations through the WHOLE train graph.
+    Regression: draw_box_into_coords/draw_scribble_into_coords max()-ed a
+    0/1 f32 mask into the bf16 disk channels; the promoted f32 coords leaked
+    through the coord patch-embed `x + additional` and every ViT block of
+    every training round silently ran f32 (inference prompt_type=0 never
+    draws boxes, so the click bench stayed bf16 and the leak was invisible
+    until the round-3 train-step trace). Trace-time spy: every nn.sdpa call
+    site in iterloss_forward must see bf16 queries."""
+    import dataclasses
+    from pvpuformer_tpu import nn as N
+    from pvpuformer_tpu.engine.train_step import iterloss_forward
+    from pvpuformer_tpu.models.vpu import init_vpu
+
+    mcfg = dataclasses.replace(tiny_cfg(), dtype=jnp.bfloat16)
+    cfg = TrainConfig(model=mcfg, remat=False)
+    params = init_vpu(jax.random.key(0), mcfg)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(0, b=2).items()}
+
+    seen = []
+    orig = N.sdpa
+
+    def spy(q, k, v, scale=None):
+        seen.append((q.dtype, q.shape))
+        return orig(q, k, v, scale)
+
+    try:
+        N.sdpa = spy     # models import `nn` as a module, so this hits all sites
+        jax.make_jaxpr(lambda p: iterloss_forward(
+            p, cfg, batch, jax.random.key(1), 2)[0])(params)
+    finally:
+        N.sdpa = orig
+    bad = sorted({(str(d), s) for d, s in seen if d != jnp.bfloat16})
+    assert seen and not bad, f"f32-promoted attention inputs: {bad}"
