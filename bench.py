@@ -13,6 +13,13 @@ would otherwise dominate the metric.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = target_ms / measured_ms (>1.0 beats the 5 ms target from
 BASELINE.json).
+
+The benched path is the shipped serving default: int8 PTQ linears
+(per-channel weights, dynamic per-token activations — nn.quantize_params).
+Accuracy gate for that default: tests/test_quant.py tensor-level bounds +
+the trained-weights NoC-identity check (scripts/demo_train_eval_synthetic.py
+reproduces the bf16 NoC curve exactly under int8: NoC@50 1.17, NoC@80 8.83).
+`--bf16` reverts to the bf16 path (metric gains a _bf16 suffix) for A/B.
 """
 from __future__ import annotations
 
@@ -33,10 +40,10 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--int8", action="store_true",
-                    help="A/B switch: PTQ all linears to int8 "
-                         "(nn.quantize_params) before the run; the metric "
-                         "name gains an _int8 suffix")
+    ap.add_argument("--bf16", action="store_true",
+                    help="A/B switch: skip the int8 PTQ default and bench "
+                         "the bf16 path; the metric name gains a _bf16 "
+                         "suffix")
     args = ap.parse_args()
 
     import jax
@@ -52,10 +59,11 @@ def main() -> None:
     mcfg = vpu_base_config(dtype=jnp.bfloat16)
     params = cast_params(init_vpu(jax.random.key(0), mcfg), jnp.bfloat16)
     suffix = ""
-    if args.int8:
+    if args.bf16:
+        suffix = "_bf16"
+    else:
         from pvpuformer_tpu.nn import quantize_params
         params = quantize_params(params)
-        suffix = "_int8"
     pcfg = PredictorConfig(model=mcfg, target_size=(448, 448), with_flip=True)
 
     rng = np.random.default_rng(0)

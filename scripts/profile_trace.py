@@ -125,6 +125,12 @@ def main() -> None:
     ap.add_argument("--parse-dir", default=None,
                     help="re-analyze a kept --train trace dir without "
                          "re-running on the TPU")
+    ap.add_argument("--size", default="base",
+                    choices=("base", "large", "huge"),
+                    help="backbone size for the click program (BASELINE "
+                         "configs 4/5 serving rows)")
+    ap.add_argument("--int8", action="store_true",
+                    help="PTQ the linears before tracing the click program")
     args = ap.parse_args()
 
     if args.parse_dir:
@@ -134,13 +140,19 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
-    from pvpuformer_tpu.models.vpu import vpu_base_config, init_vpu
+    from pvpuformer_tpu.models.vpu import (vpu_base_config, vpu_huge_config,
+                                           vpu_large_config, init_vpu)
     from pvpuformer_tpu.inference.predictor import (PredictorConfig,
                                                     click_scan, init_session)
     from pvpuformer_tpu.nn import cast_params
 
-    mcfg = vpu_base_config(dtype=jnp.bfloat16)
+    make_cfg = {"base": vpu_base_config, "large": vpu_large_config,
+                "huge": vpu_huge_config}[args.size]
+    mcfg = make_cfg(dtype=jnp.bfloat16)
     params = cast_params(init_vpu(jax.random.key(0), mcfg), jnp.bfloat16)
+    if args.int8:
+        from pvpuformer_tpu.nn import quantize_params
+        params = quantize_params(params)
     pcfg = PredictorConfig(model=mcfg, target_size=(448, 448), with_flip=True)
 
     rng = np.random.default_rng(0)
