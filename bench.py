@@ -14,12 +14,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = target_ms / measured_ms (>1.0 beats the 5 ms target from
 BASELINE.json).
 
-The benched path is the shipped serving default: int8 PTQ linears
-(per-channel weights, dynamic per-token activations — nn.quantize_params).
-Accuracy gate for that default: tests/test_quant.py tensor-level bounds +
-the trained-weights NoC-identity check (scripts/demo_train_eval_synthetic.py
-reproduces the bf16 NoC curve exactly under int8: NoC@50 1.17, NoC@80 8.83).
-`--bf16` reverts to the bf16 path (metric gains a _bf16 suffix) for A/B.
+Measured path: **bf16** — the shipped default of every serving surface
+(`Predictor(int8=False)`, evaluate.py / demo.py / serve.py), so the
+unsuffixed metric always means the same compute path across rounds.
+`--int8` benches the opt-in int8 PTQ serving variant instead
+(per-channel int8 weights + dynamic per-token activations,
+nn.quantize_params) and suffixes the metric name `_int8` so the two paths
+are never conflated in BENCH_r0N.json history. Accuracy bounds for the
+int8 variant: tests/test_quant.py (tensor-level + the depth-4/768
+protocol-level click-loop bound) and the tiny-model NoC-identity check in
+scripts/demo_train_eval_synthetic.py.
+
+Provenance of the driver-recorded history (see README "Perf history"):
+BENCH_r01/r02 measured bf16; BENCH_r03 measured int8 (unsuffixed — a
+mistake this file corrects); r04+ measure bf16 unless suffixed.
 """
 from __future__ import annotations
 
@@ -40,10 +48,10 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bf16", action="store_true",
-                    help="A/B switch: skip the int8 PTQ default and bench "
-                         "the bf16 path; the metric name gains a _bf16 "
-                         "suffix")
+    ap.add_argument("--int8", action="store_true",
+                    help="A/B switch: bench the opt-in int8 PTQ serving "
+                         "variant instead of the shipped bf16 default; the "
+                         "metric name gains an _int8 suffix")
     args = ap.parse_args()
 
     import jax
@@ -59,11 +67,10 @@ def main() -> None:
     mcfg = vpu_base_config(dtype=jnp.bfloat16)
     params = cast_params(init_vpu(jax.random.key(0), mcfg), jnp.bfloat16)
     suffix = ""
-    if args.bf16:
-        suffix = "_bf16"
-    else:
+    if args.int8:
         from pvpuformer_tpu.nn import quantize_params
         params = quantize_params(params)
+        suffix = "_int8"
     pcfg = PredictorConfig(model=mcfg, target_size=(448, 448), with_flip=True)
 
     rng = np.random.default_rng(0)
