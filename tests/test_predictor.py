@@ -339,3 +339,45 @@ def test_net_clicks_limit_truncates_net_input():
     assert np.any(np.asarray(probs_none[-1]) != np.asarray(probs_one[-1]))
     # the session still accumulated 3 clicks (state is not truncated)
     assert np.sum(pts_one[:, 2] >= 0) == 3
+
+
+def test_golden_prompt_protocols():
+    """Golden-file regression of the box/scribble prompt protocols
+    (VERDICT r3 #6): the bit-exact certification vs the reference's own
+    eval loop lives in the slow test_reference_direct protocol tests; this
+    fast pin catches a drift without torch or /root/reference mounted.
+
+    Pins, per (prompt_mode, as_multi_prompts) variant: 4-click IoU curves,
+    per-click mean probabilities (prompt-path-sensitive where thresholded
+    IoU saturates on random weights), and the click tensors — plus
+    fixed-input outputs of the synthesis primitives themselves
+    (synth_boxes / _append_error_click / _rewrite_points_* /
+    synth_scribbles). Regenerate DELIBERATELY with
+    scripts/regen_goldens.py --only prompt and explain in the commit."""
+    import json
+    from pathlib import Path
+    import numpy as np
+    from scripts.regen_goldens import _session_golden, _synth_golden
+    from test_models import tiny_cfg
+
+    golden = json.load(open(Path(__file__).parent /
+                            "golden_prompt_loop.json"))
+
+    sessions = _session_golden(
+        tiny_cfg, [("mode1_multi", 1, True), ("mode1_points", 1, False),
+                   ("mode2_multi", 2, True), ("mode2_points", 2, False)])
+    for name, want in golden["sessions"].items():
+        got = sessions[name]
+        np.testing.assert_allclose(got["ious"], want["ious"], atol=1e-4,
+                                   err_msg=f"{name}: IoU curve")
+        np.testing.assert_allclose(got["prob_means"], want["prob_means"],
+                                   atol=1e-4, err_msg=f"{name}: prob means")
+        np.testing.assert_allclose(got["clicks"], want["clicks"], atol=1e-4,
+                                   err_msg=f"{name}: click tensor")
+
+    synth = _synth_golden()
+    for key, want in golden["synth"].items():
+        atol = 2e-3 if key == "scribble_curve" else 1e-4
+        np.testing.assert_allclose(np.asarray(synth[key], np.float64),
+                                   np.asarray(want, np.float64), atol=atol,
+                                   err_msg=f"synth: {key}")
