@@ -145,9 +145,14 @@ class Trainer:
         # live on device, so the host never blocks on step results — XLA
         # pipelines step k+1's dispatch while step k runs. The only per-window
         # sync is float(loss) for the console line every `log_every` steps.
+        from ..parallel.mesh import activation_sharding
+
         m = self.metrics[0]
         mstate = m.device_state()
-        with self.mesh:
+        # activation_sharding pins the Megatron activation layout while the
+        # step traces, so tp-mode GSPMD never involuntarily rematerializes
+        # (no-op on pure-DP meshes)
+        with self.mesh, activation_sharding(self.mesh):
             for i, batch in enumerate(self.train_loader):
                 num_iters = rng.randint(1, self.cfg.max_num_next_clicks)
                 key = jax.random.key((self.seed << 20) ^ self.global_step)
@@ -186,9 +191,11 @@ class Trainer:
         rng = random.Random(f"{self.seed}-{epoch}-val")
         sums: Dict[str, float] = {}
         count = 0
+        from ..parallel.mesh import activation_sharding
+
         m = self.val_metrics[0]
         mstate = m.device_state()
-        with self.mesh:
+        with self.mesh, activation_sharding(self.mesh):
             for batch in self.val_loader:
                 num_iters = rng.randint(1, self.cfg.max_num_next_clicks)
                 key = jax.random.key(epoch * 131071 + count)
@@ -237,7 +244,10 @@ class Trainer:
         gt_disp = gt.copy()
         gt_disp[gt_disp < 0] = 0.25
         row1 = np.concatenate([
-            draw_with_blend_and_clicks(image_u8, clicks_list=pts[0]),
+            # order-coded markers, like the reference's draw_points on the
+            # (y, x, indx) rows of the point tensor (trainer.py:584-585)
+            draw_with_blend_and_clicks(image_u8, clicks_list=pts[0],
+                                       order_markers=True),
             draw_probmap(gt_disp),
             draw_probmap(pred),
         ], axis=1)

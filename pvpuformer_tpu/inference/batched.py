@@ -99,10 +99,15 @@ class BatchedEvaluator:
                     [chunk[-1][1]] * pad               # pad with a duplicate
                 stacked = _stack_states(states)
                 if self.mesh is not None:
-                    from ..parallel.mesh import shard_batch
+                    from ..parallel.mesh import (activation_sharding,
+                                                 shard_batch)
                     stacked = shard_batch(stacked, self.mesh)
-                _, ious = batched_click_scan(self.params, self.cfg, stacked,
-                                             max_clicks)
+                    with self.mesh, activation_sharding(self.mesh):
+                        _, ious = batched_click_scan(
+                            self.params, self.cfg, stacked, max_clicks)
+                else:
+                    _, ious = batched_click_scan(self.params, self.cfg,
+                                                 stacked, max_clicks)
                 ious = np.asarray(ious)
                 for (idx, _), curve in zip(chunk, ious):
                     over = np.nonzero(curve[min_clicks - 1:] >= max_iou_thr)[0]

@@ -74,17 +74,25 @@ def init_attention(key, embedding_dim: int, num_heads: int,
 
 def attention(p, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               num_heads: int) -> jnp.ndarray:
-    """Downsampling attention (transformer.py:466-521)."""
-    q = nn.linear(p["q"], q)
-    k = nn.linear(p["k"], k)
-    v = nn.linear(p["v"], v)
+    """Downsampling attention (transformer.py:466-521).
+
+    constrain_acts (no-op outside parallel.mesh.activation_sharding) pins
+    batch-over-`data`, rest-replicated on the projection outputs: the
+    point-token tensors here are tiny (12-24 tokens) and partly broadcast
+    (query PEs), and without a pinned layout GSPMD invents shardings for
+    them that involuntarily rematerialize in the fsdp backward."""
+    from ..parallel.mesh import constrain_acts
+
+    q = constrain_acts(nn.linear(p["q"], q))
+    k = constrain_acts(nn.linear(p["k"], k))
+    v = constrain_acts(nn.linear(p["v"], v))
     b, nq, c = q.shape
     nk = k.shape[1]
     q = q.reshape(b, nq, num_heads, c // num_heads)
     k = k.reshape(b, nk, num_heads, c // num_heads)
     v = v.reshape(b, nk, num_heads, c // num_heads)
-    out = nn.sdpa(q, k, v).reshape(b, nq, c)
-    return nn.linear(p["out"], out)
+    out = constrain_acts(nn.sdpa(q, k, v).reshape(b, nq, c))
+    return constrain_acts(nn.linear(p["out"], out))
 
 
 def init_block(key, cfg: TwoWayConfig) -> Dict[str, Any]:

@@ -84,23 +84,34 @@ def init_block(key, dim: int, num_heads: int, mlp_ratio: float,
 def block_forward(p, x: jnp.ndarray, num_heads: int, eps: float,
                   attn_impl: str = "xla", ln_f32: bool = True,
                   mlp_impl: str = "xla") -> jnp.ndarray:
+    # constrain_acts is a no-op outside parallel.mesh.activation_sharding;
+    # under a tensor-parallel trace it pins the Megatron activation layout
+    # (heads/hidden over `model`, batch over `data`) so GSPMD never falls
+    # back to involuntary full rematerialization in the backward.
+    from ..parallel.mesh import constrain_acts
+
     b, n, d = x.shape
     h = nn.layer_norm(p["norm1"], x, eps, f32=ln_f32)
     qkv = nn.linear(p["attn"]["qkv"], h).reshape(b, n, 3, num_heads, d // num_heads)
+    qkv = constrain_acts(qkv, model_dim=3)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if attn_impl == "flash":
         from ..ops.attention import flash_attention
         attn = flash_attention(q, k, v).reshape(b, n, d)
     else:
         attn = nn.sdpa(q, k, v).reshape(b, n, d)
-    x = x + nn.linear(p["attn"]["proj"], attn)
+    attn = constrain_acts(attn, model_dim=2)
+    x = constrain_acts(x + nn.linear(p["attn"]["proj"], attn))
     if mlp_impl == "fused" and "w_q" not in p["mlp"]["fc1"]:
         # the Pallas fused kernel reads f32/bf16 weights; int8-quantized
         # params fall through to the dispatching XLA path
         from ..ops.fused_mlp import fused_ln_mlp
         x = fused_ln_mlp(x, p["norm2"], p["mlp"], eps)
     else:
-        x = x + nn.mlp(p["mlp"], nn.layer_norm(p["norm2"], x, eps, f32=ln_f32))
+        h = nn.layer_norm(p["norm2"], x, eps, f32=ln_f32)
+        hidden = constrain_acts(nn.gelu(nn.linear(p["mlp"]["fc1"], h)),
+                                model_dim=2)
+        x = constrain_acts(x + nn.linear(p["mlp"]["fc2"], hidden))
     return x
 
 

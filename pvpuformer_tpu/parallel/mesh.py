@@ -17,6 +17,7 @@ Axes:
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional
 
 import numpy as np
@@ -59,14 +60,22 @@ def _path_str(path) -> str:
 
 
 def _tp_spec(path: str, leaf) -> P:
-    """Megatron-style tensor-parallel placement for the ViT/neck weights.
+    """Megatron-style tensor-parallel placement for the BACKBONE weights.
 
     Column-split the fan-out of qkv / mlp.fc1 (out dim over `model`),
     row-split the fan-in of proj / mlp.fc2 — XLA then keeps the attention
     heads / hidden units local and all-reduces once per block.
+
+    Backbone-only by design: the ViT is where the FLOPs and the parameters
+    are (ViT-H: 632M of 716M); the prompt transformers (two_way/decoder,
+    d=256, 12-24 tokens) are so small that sharding their weights costs
+    more in collectives than it saves — and their tiny activation tensors
+    force GSPMD into involuntary full rematerialization in the backward
+    (size-1/12 dims can't tile over the mesh; observed as 45 [SPMD]
+    warnings in the 8-device dryrun before this restriction).
     """
     nd = getattr(leaf, "ndim", 0)
-    if nd < 2:
+    if nd < 2 or "backbone" not in path:
         return P()
     if path.endswith(("attn.qkv.w", "mlp.fc1.w", "fc1.w")):
         return P(None, "model")
@@ -114,3 +123,58 @@ def param_sharding(params: Any, mesh: Mesh, mode: str = "replicated") -> Any:
 def shard_params(params: Any, mesh: Mesh, mode: str = "replicated") -> Any:
     shardings = param_sharding(params, mesh, mode)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Activation sharding hints (tensor-parallel mode)
+# ---------------------------------------------------------------------------
+# With only the _tp_spec WEIGHT shardings, GSPMD has to infer every
+# activation layout; at the attention softmax it gives up and emits
+# "[SPMD] Involuntary full rematerialization" (replicate, then repartition)
+# for the backward's score tensors — wasted ICI/HBM bandwidth on real
+# hardware. These hints pin the Megatron activation convention instead:
+# qkv/fc1 outputs head-/hidden-sharded over `model`, proj/fc2 outputs
+# replicated over `model` (one psum per block), batch over `data` throughout.
+
+_ACT_MESH: Optional[Mesh] = None
+
+
+@contextlib.contextmanager
+def activation_sharding(mesh: Optional[Mesh]):
+    """Enable constrain_acts hints while tracing a step under `mesh`.
+
+    Trace-time only: the constraint bakes into the jitted program, so wrap
+    the (first) call of each jitted step. No-op when mesh is None.
+    """
+    global _ACT_MESH
+    prev = _ACT_MESH
+    _ACT_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACT_MESH = prev
+
+
+def constrain_acts(x: jnp.ndarray, model_dim: Optional[int] = None,
+                   data_dim: Optional[int] = 0) -> jnp.ndarray:
+    """with_sharding_constraint(x, P[data_dim="data", model_dim="model"]).
+
+    No-op unless inside an activation_sharding(mesh) trace. Axes that are
+    absent from the mesh, size-1, or that don't divide x's dim fall back to
+    None in the spec — but the constraint is still emitted: pinning the
+    remaining dims REPLICATED is the point. GSPMD's propagation otherwise
+    invents layouts for broadcast tensors (it will happily 8-way-tile a
+    size-1 dim, then "involuntarily fully rematerialize" in the backward —
+    observed on the two_way point-token path under fsdp).
+    """
+    mesh = _ACT_MESH
+    if mesh is None:
+        return x
+    spec = [None] * x.ndim
+    for dim, name in ((data_dim, "data"), (model_dim, "model")):
+        if dim is None or name not in mesh.shape:
+            continue
+        size = mesh.shape[name]
+        if size > 1 and x.shape[dim] % size == 0:
+            spec[dim] = name
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
