@@ -142,3 +142,32 @@ def get_results_table(noc_list, over_max_list, brs_type: str, dataset_name: str,
         row += f'{over_max_list[i]:^9}|' if len(noc_list) > i else f'{"?":^9}|'
     row += f'{mean_spc:^7.3f}|{eval_time:^9}|'
     return header, row
+
+
+def merge_shard_pickles(paths: Sequence[str]):
+    """Merge the per-host IoU pickles of a sharded eval (scripts/evaluate.py
+    --shard I/N, one host each) back into per-dataset results, so the NoC
+    table of the full dataset can be reprinted in the reference's format
+    (inference/utils.py:136-159). The reference is single-process and has
+    no counterpart; this closes our own multi-host eval loop.
+
+    Returns {(dataset, mode): {"all_ious": [...], "elapsed": s, "n_clicks"}}
+    with curves concatenated in path order and wall-clock summed (hosts run
+    concurrently, so the summed SPC is per-host-serialized — an upper
+    bound; the table's Time column uses the max over shards instead)."""
+    import pickle
+
+    merged: dict = {}
+    for path in paths:
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        key = (d["dataset"], d.get("mode", "NoBRS"))
+        m = merged.setdefault(key, {"all_ious": [], "elapsed": 0.0,
+                                    "elapsed_max": 0.0, "n_clicks": 0,
+                                    "shards": 0})
+        m["all_ious"].extend(d["all_ious"])
+        m["elapsed"] += d.get("elapsed", 0.0)
+        m["elapsed_max"] = max(m["elapsed_max"], d.get("elapsed", 0.0))
+        m["n_clicks"] = max(m["n_clicks"], d.get("n_clicks", 0))
+        m["shards"] += 1
+    return merged

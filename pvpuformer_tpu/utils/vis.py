@@ -42,14 +42,23 @@ def visualize_mask(mask: np.ndarray) -> np.ndarray:
     return _palette()[np.clip(mask, 0, 255).astype(np.int32)]
 
 
+def _hot(x: np.ndarray) -> np.ndarray:
+    """COLORMAP_HOT ramp (black -> red -> yellow -> white), x in [0, 1] ->
+    float RGB in [0, 255]. Piecewise-linear fit of cv2 5.0's LUT (cv2
+    interpolates a 64-entry base table, which adds sub-1% kinks; this ramp
+    stays within 9/255 of it everywhere — tests/test_vis.py)."""
+    v = np.clip(x, 0.0, 1.0) * 255.0
+    r = np.clip(v * 2.4917 + 0.24, 0, 255)
+    g = np.clip((v - 101.81) * 2.4902, 0, 255)
+    b = np.clip((v - 203.65) * 4.9665, 0, 255)
+    return np.stack([r, g, b], axis=-1)
+
+
 def draw_probmap(probs: np.ndarray) -> np.ndarray:
-    """vis.py:61: probability map -> jet-colored uint8 image."""
-    x = np.clip(probs, 0.0, 1.0)
-    # piecewise jet
-    r = np.clip(1.5 - np.abs(4.0 * x - 3.0), 0, 1)
-    g = np.clip(1.5 - np.abs(4.0 * x - 2.0), 0, 1)
-    b = np.clip(1.5 - np.abs(4.0 * x - 1.0), 0, 1)
-    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+    """vis.py:61: probability map -> COLORMAP_HOT uint8 image (the
+    reference's `cv2.applyColorMap(x*255, COLORMAP_HOT)`), so probability
+    panels are visually comparable to the reference's eval dumps."""
+    return np.round(_hot(np.asarray(probs, np.float32))).astype(np.uint8)
 
 
 def _disk(h: int, w: int, cy: float, cx: float, radius: int) -> np.ndarray:
@@ -57,14 +66,78 @@ def _disk(h: int, w: int, cy: float, cx: float, radius: int) -> np.ndarray:
     return (yy - cy) ** 2 + (xx - cx) ** 2 <= radius ** 2
 
 
+def _line_pixels(x0: int, y0: int, x1: int, y1: int):
+    """Thickness-1 8-connected line, pixel-exact vs cv2.line for the marker
+    strokes below: step along the major axis; the minor coordinate rounds
+    halves DOWN (cv2's LineIterator convention — verified against cv2 5.0
+    in tests/test_vis.py)."""
+    import math
+
+    n = max(abs(x1 - x0), abs(y1 - y0))
+    if n == 0:
+        return [(x0, y0)]
+    return [(math.ceil(x0 + k * (x1 - x0) / n - 0.5) if abs(x1 - x0) < n
+             else x0 + k * (1 if x1 > x0 else -1),
+             math.ceil(y0 + k * (y1 - y0) / n - 0.5) if abs(y1 - y0) < n
+             else y0 + k * (1 if y1 > y0 else -1))
+            for k in range(n + 1)]
+
+
+def _marker_pixels(x: int, y: int, order: int, size: int = 4):
+    """cv2.drawMarker stroke pixels for the reference's click-order coding
+    (vis.py:70-78): order 0 cross, 1 diamond, 2 star, 3 triangle-up,
+    >3 square; markerSize=4, thickness=1."""
+    s = size // 2
+    cross = [((x - s, y), (x + s, y)), ((x, y - s), (x, y + s))]
+    tilted = [((x - s, y - s), (x + s, y + s)),
+              ((x + s, y - s), (x - s, y + s))]
+    diamond = [((x, y - s), (x + s, y)), ((x + s, y), (x, y + s)),
+               ((x, y + s), (x - s, y)), ((x - s, y), (x, y - s))]
+    triangle = [((x - s, y + s), (x + s, y + s)),
+                ((x + s, y + s), (x, y - s)), ((x, y - s), (x - s, y + s))]
+    square = [((x - s, y - s), (x + s, y - s)), ((x + s, y - s), (x + s, y + s)),
+              ((x + s, y + s), (x - s, y + s)), ((x - s, y + s), (x - s, y - s))]
+    lines = {0: cross, 1: diamond, 2: cross + tilted,
+             3: triangle}.get(order, square)
+    pts = set()
+    for (ax, ay), (bx, by) in lines:
+        pts.update(_line_pixels(ax, ay, bx, by))
+    return pts
+
+
+def draw_points(image: np.ndarray, points, color, radius: int = 3,
+                marker_size: int = 4) -> np.ndarray:
+    """vis.py:65-86 draw_points: (y, x) points -> filled disks; (y, x, order)
+    points -> order-coded markers (cross/diamond/star/triangle per click
+    index, square beyond), so a reviewer can read WHICH click came when off
+    the panel, like the reference's training dumps (trainer.py:584-585)."""
+    out = image.copy()
+    h, w = out.shape[:2]
+    for p in np.atleast_2d(np.asarray(points, np.float64)):
+        if len(p) == 0 or p[0] < 0:
+            continue
+        if len(p) >= 3:
+            for px, py in _marker_pixels(int(p[1]), int(p[0]), int(p[2]),
+                                         marker_size):
+                if 0 <= py < h and 0 <= px < w:
+                    out[py, px] = color
+        else:
+            out[_disk(h, w, float(p[0]), float(p[1]), radius)] = color
+    return out
+
+
 def draw_with_blend_and_clicks(image: np.ndarray, mask=None, alpha: float = 0.6,
                                clicks_list=None, pos_color=(0, 255, 0),
                                neg_color=(255, 0, 0),
-                               radius: int = 4) -> np.ndarray:
+                               radius: int = 4,
+                               order_markers: bool = False) -> np.ndarray:
     """vis.py:119: blend mask color over image + click disks.
 
     clicks_list: either reference-style objects with .is_positive/.coords or
-    an (2N, 3) array of (y, x, order) with the first half positive."""
+    an (2N, 3) array of (y, x, order) with the first half positive.
+    order_markers=True draws the reference trainer's order-coded markers
+    (trainer.py:584 feeds (y, x, indx) rows to draw_points) instead of
+    disks; requires order info (the 3-column array form)."""
     result = image.astype(np.float32).copy()
     h, w = result.shape[:2]
     if mask is not None:
@@ -81,15 +154,22 @@ def draw_with_blend_and_clicks(image: np.ndarray, mask=None, alpha: float = 0.6,
             n = arr.shape[0] // 2
             for i, (y, x, order) in enumerate(arr):
                 if order >= 0:
-                    entries.append((i < n, y, x))
+                    entries.append((i < n, y, x, order))
         else:
             for c in clicks_list:
-                entries.append((c.is_positive, *c.coords))
-        for is_pos, y, x in entries:
+                order = getattr(c, "indx", None)
+                entries.append((c.is_positive, *c.coords,
+                                -1 if order is None else order))
+        result = np.clip(result, 0, 255).astype(np.uint8)
+        for is_pos, y, x, order in entries:
             if y < 0 or x < 0:
                 continue
-            d = _disk(h, w, float(y), float(x), radius)
-            result[d] = pos_color if is_pos else neg_color
+            color = pos_color if is_pos else neg_color
+            if order_markers and order >= 0:
+                result = draw_points(result, [(y, x, order)], color)
+            else:
+                result[_disk(h, w, float(y), float(x), radius)] = color
+        return result
     return np.clip(result, 0, 255).astype(np.uint8)
 
 
@@ -209,12 +289,7 @@ def draw_heatmap(img: np.ndarray, mask=None, alpha: float = 0.5) -> np.ndarray:
     result = img.copy()
     if mask is not None:
         x = mask.astype(np.float32)
-        x = x / max(x.max(), 1e-6)
-        # COLORMAP_HOT ramp: black -> red -> yellow -> white
-        r = np.clip(3.0 * x, 0, 1)
-        g = np.clip(3.0 * x - 1.0, 0, 1)
-        b = np.clip(3.0 * x - 2.0, 0, 1)
-        heat = (np.stack([r, g, b], axis=-1) * 255)
+        heat = _hot(x / max(x.max(), 1e-6))
         result = np.clip(heat * alpha + img, 0, 255).astype(np.uint8)
     return result
 

@@ -119,9 +119,15 @@ def parse_args():
                         "counters (SURVEY §5 tracing equivalent)")
     p.add_argument("--shard", default=None, metavar="I/N",
                    help="evaluate shard I of N (multi-host eval: run one "
-                        "shard per host, e.g. 0/4 .. 3/4, merge the IoU "
-                        "pickles; replaces the reference's single-process "
-                        "eval, SURVEY §2.8)")
+                        "shard per host, e.g. 0/4 .. 3/4, with --save-ious; "
+                        "then --merge-shards reprints the full table; "
+                        "replaces the reference's single-process eval, "
+                        "SURVEY §2.8)")
+    p.add_argument("--merge-shards", default=None, metavar="GLOB",
+                   help="merge the IoU pickles matching GLOB (written by "
+                        "per-host --shard --save-ious runs) and reprint the "
+                        "combined per-dataset NoC tables; no model is "
+                        "loaded")
     return p.parse_args()
 
 
@@ -197,8 +203,44 @@ def maybe_interp_pos_embed(params, mcfg, crop):
     return params, mcfg.replace(backbone=bcfg)
 
 
+def merge_shards(pattern: str, model_name=None) -> None:
+    """--merge-shards: combine per-host --shard IoU pickles and reprint the
+    full-dataset NoC tables (reference format, inference/utils.py:136-159).
+    SPC is recomputed from the summed click count; the Time column shows
+    the max shard wall-clock (hosts ran concurrently)."""
+    import glob
+
+    from pvpuformer_tpu.inference.evaluation import (
+        compute_noc_metric, get_results_table, get_time_metrics,
+        merge_shard_pickles)
+
+    paths = sorted(glob.glob(pattern))
+    if not paths:
+        raise SystemExit(f"--merge-shards: no pickles match {pattern!r}")
+    print(f"merging {len(paths)} shard pickle(s):")
+    for p in paths:
+        print(f"  {p}")
+    merged = merge_shard_pickles(paths)
+    for (dataset, mode), m in sorted(merged.items()):
+        n_clicks = m["n_clicks"] or 20
+        mean_spc, _ = get_time_metrics(m["all_ious"], m["elapsed"])
+        noc, _, over_max = compute_noc_metric(
+            m["all_ious"], iou_thrs=[0.8, 0.85, 0.9, 0.95],
+            max_clicks=n_clicks)
+        header, row = get_results_table(
+            noc, over_max, mode, dataset, mean_spc, m["elapsed_max"],
+            n_clicks, model_name=model_name)
+        print(f"\n{dataset}: {len(m['all_ious'])} instances from "
+              f"{m['shards']} shard(s)")
+        print(header)
+        print(row)
+
+
 def main() -> None:
     args = parse_args()
+    if args.merge_shards:
+        merge_shards(args.merge_shards, model_name=args.model_name)
+        return
     if args.platform:
         import os
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -357,11 +399,14 @@ def main() -> None:
             miou = mean_iou_per_click(all_ious, max_clicks=args.n_clicks)
             print("mIoU@k:", np.array2string(miou, precision=4))
         if args.save_ious or args.iou_analysis:
+            shard_tag = (f"_s{args.shard.replace('/', 'of')}"
+                         if args.shard else "")
             out = logs_dir / (f"{name}_{args.eval_mode}_{args.mode}"
-                              f"_{args.n_clicks}.pickle")
+                              f"_{args.n_clicks}{shard_tag}.pickle")
             with open(out, "wb") as f:
                 pickle.dump({"all_ious": all_ious, "dataset": name,
-                             "mode": args.mode}, f)
+                             "mode": args.mode, "elapsed": elapsed,
+                             "n_clicks": args.n_clicks}, f)
             print("saved IoU curves to", out)
 
 

@@ -25,6 +25,10 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--clicks", type=int, default=20)
     p.add_argument("--hw", type=int, default=448)
+    p.add_argument("--json", action="store_true",
+                   help="emit one BENCH-style JSON line per variant "
+                        "(BASELINE.md tracked batched-eval throughput, "
+                        "fixed protocol b{batch} x {clicks} clicks)")
     args = p.parse_args()
 
     import jax
@@ -68,6 +72,14 @@ def main() -> None:
         print(f"{label}: {dt * 1e3:8.1f} ms/dispatch "
               f"({cps:7.1f} clicks/s, b{args.batch} x {args.clicks})",
               flush=True)
+        if args.json:
+            import json
+            tag = "int8" if "int8" in label else \
+                ("bf16" if chunk is None else "bf16_chunked")
+            print(json.dumps({
+                "metric": f"batched_eval_clicks_per_sec_vitb{args.hw}_{tag}",
+                "value": round(cps, 1), "unit": "clicks/s",
+                "protocol": f"b{args.batch}x{args.clicks}"}), flush=True)
 
 
 if __name__ == "__main__":

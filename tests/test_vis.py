@@ -112,3 +112,70 @@ def test_annotate_and_eval_panel_shapes():
                        clicks_list=clicks,
                        boxes=np.array([30, 20, 12, 10, 0]), prompt_type=1)
     assert panel.shape == (2 * 48, 3 * 64, 3) and panel.dtype == np.uint8
+
+
+def test_draw_probmap_matches_cv2_hot():
+    """draw_probmap now renders COLORMAP_HOT (vis.py:61); cv2 builds the
+    LUT by interpolating a 64-entry base table, our ramp is the
+    piecewise-linear fit — bound the difference tightly."""
+    from pvpuformer_tpu.utils.vis import draw_probmap
+
+    probs = np.linspace(0, 1, 256, dtype=np.float32).reshape(16, 16)
+    got = draw_probmap(probs).astype(np.int32)
+    want = cv2.applyColorMap((probs * 255).astype(np.uint8),
+                             cv2.COLORMAP_HOT)[..., ::-1].astype(np.int32)
+    diff = np.abs(got - want)
+    assert diff.max() <= 9, diff.max()
+    assert diff.mean() < 2.0, diff.mean()
+    # endpoints exact: black and white
+    np.testing.assert_array_equal(got[0, 0], [0, 0, 0])
+    np.testing.assert_array_equal(got[-1, -1], [255, 255, 255])
+
+
+@pytest.mark.parametrize("order,marker", [
+    (0, cv2.MARKER_CROSS), (1, cv2.MARKER_DIAMOND), (2, cv2.MARKER_STAR),
+    (3, cv2.MARKER_TRIANGLE_UP), (4, cv2.MARKER_SQUARE),
+    (7, cv2.MARKER_SQUARE)])
+def test_draw_points_order_markers_match_cv2(order, marker):
+    """vis.py:65-86: click-order markers, pixel-exact vs cv2.drawMarker
+    (markerSize=4, thickness=1)."""
+    from pvpuformer_tpu.utils.vis import draw_points
+
+    img = np.zeros((21, 21, 3), np.uint8)
+    got = draw_points(img, [(10.0, 12.0, float(order))], (0, 255, 0))
+
+    want = np.zeros((21, 21, 3), np.uint8)
+    cv2.drawMarker(want, (12, 10), (0, 255, 0), marker, 4, 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_draw_points_disks_and_skips():
+    """2-element points draw disks (vis.py:80-82); negative rows skipped."""
+    from pvpuformer_tpu.utils.vis import draw_points
+
+    img = np.zeros((30, 30, 3), np.uint8)
+    got = draw_points(img, [(15.0, 15.0), (-1.0, -1.0)], (255, 0, 0),
+                      radius=3)
+    want = np.zeros((30, 30, 3), np.uint8)
+    cv2.circle(want, (15, 15), 3, (255, 0, 0), -1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_blend_and_clicks_order_markers_mode():
+    """order_markers=True renders markers from the (2N, 3) array form (the
+    trainer dump path, reference trainer.py:584-585); default stays disks."""
+    from pvpuformer_tpu.utils.vis import draw_with_blend_and_clicks
+
+    img = np.full((32, 32, 3), 80, np.uint8)
+    pts = np.full((4, 3), -1.0, np.float32)
+    pts[0] = (10, 10, 0)   # positive, first click -> cross
+    pts[2] = (20, 20, 1)   # negative, second click -> diamond
+    out = draw_with_blend_and_clicks(img, clicks_list=pts, order_markers=True)
+
+    want = np.full((32, 32, 3), 80, np.uint8)
+    cv2.drawMarker(want, (10, 10), (0, 255, 0), cv2.MARKER_CROSS, 4, 1)
+    cv2.drawMarker(want, (20, 20), (255, 0, 0), cv2.MARKER_DIAMOND, 4, 1)
+    np.testing.assert_array_equal(out, want)
+
+    disks = draw_with_blend_and_clicks(img, clicks_list=pts)
+    assert (disks == (0, 255, 0)).all(axis=-1).sum() > 20  # radius-4 disk
