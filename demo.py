@@ -254,6 +254,12 @@ def gui(controller, args) -> None:
     canvas.bind("<B2-Motion>", pan_move)
     canvas.bind("<ButtonRelease-2>", lambda e: drag.update(xy=None))
 
+    # focus-aware wrappers (demo_widgets, re-derived from the reference's
+    # interactive_demo/wrappers.py): click-to-focus controls + validated
+    # numeric entry, grouped in labeled frames like the reference app
+    from demo_widgets import make_widgets
+    W = make_widgets()
+
     side = tk.Frame(root)
     side.pack(side="right", fill="y", padx=4)
 
@@ -263,7 +269,9 @@ def gui(controller, args) -> None:
         view["t"] = ViewTransform(img.shape[:2], (VIEW_W, VIEW_H))
         redraw()
 
-    tk.Button(side, text="open image", command=lambda: (
+    io_frame = W["FocusLabelFrame"](side, text="Image / mask")
+    io_frame.pack(fill="x", pady=(0, 4))
+    W["FocusButton"](io_frame, text="open image", command=lambda: (
         (lambda p: set_image_from(p) if p else None)(
             filedialog.askopenfilename()))).pack(fill="x")
 
@@ -273,30 +281,55 @@ def gui(controller, args) -> None:
             m = np.asarray(Image.open(path).convert("L")) > 0
             controller.set_mask(m.astype(np.float32))
             redraw()
-    tk.Button(side, text="load init mask", command=load_mask).pack(fill="x")
+    W["FocusButton"](io_frame, text="load init mask",
+                     command=load_mask).pack(fill="x")
 
     def save_mask():
         path = filedialog.asksaveasfilename(defaultextension=".png")
         if path:
             Image.fromarray(
                 controller.result_mask.astype(np.uint16)).save(path)
-    tk.Button(side, text="save mask", command=save_mask).pack(fill="x")
+    W["FocusButton"](io_frame, text="save mask",
+                     command=save_mask).pack(fill="x")
 
-    tk.Label(side, text="BRS mode").pack()
+    brs_frame = W["FocusLabelFrame"](side, text="BRS mode")
+    brs_frame.pack(fill="x", pady=(0, 4))
     mode_var = tk.StringVar(value=settings.brs_mode)
 
     def on_mode(_):
         settings.brs_mode = mode_var.get()
         controller.set_brs_mode(settings.brs_mode)
         redraw()
-    tk.OptionMenu(side, mode_var, *BRS_MODES,
+    tk.OptionMenu(brs_frame, mode_var, *BRS_MODES,
                   command=on_mode).pack(fill="x")
 
+    # network clicks limit: validated entry, INF = no truncation
+    # (reference app.py's net_clicks_limit BoundedNumericalEntry)
+    limit_row = tk.Frame(brs_frame)
+    limit_row.pack(fill="x")
+    tk.Label(limit_row, text="network clicks").pack(side="left")
+    limit_var = tk.StringVar(value="INF")
+
+    def on_limit(*_):
+        v = limit_var.get()
+        controller.set_net_clicks_limit(None if v == "INF" else int(v))
+        redraw()
+    entry = W["BoundedNumericalEntry"](limit_row, min_value=1, max_value=96,
+                                       vartype=int, allow_inf=True,
+                                       variable=limit_var)
+    entry.fake_var.set("INF")
+    entry.bind("<Return>", on_limit)
+    entry.bind("<FocusOut>", on_limit)
+    entry.pack(side="right")
+
+    vis_frame = W["FocusLabelFrame"](side, text="Visualization")
+    vis_frame.pack(fill="x", pady=(0, 4))
+
     def slider(label, frm, to, res, init, setter):
-        tk.Label(side, text=label).pack()
-        s = tk.Scale(side, from_=frm, to=to, resolution=res,
-                     orient="horizontal",
-                     command=lambda v: (setter(float(v)), redraw()))
+        tk.Label(vis_frame, text=label).pack()
+        s = W["FocusHorizontalScale"](
+            vis_frame, from_=frm, to=to, resolution=res,
+            command=lambda v: (setter(float(v)), redraw()))
         s.set(init)
         s.pack(fill="x")
 
@@ -307,11 +340,13 @@ def gui(controller, args) -> None:
     slider("click radius", 1, 10, 1, settings.click_radius,
            lambda v: setattr(settings, "click_radius", int(v)))
 
-    tk.Button(side, text="undo click", command=lambda: (
-        controller.undo_click(), redraw())).pack(fill="x", pady=(8, 0))
-    tk.Button(side, text="reset clicks", command=lambda: (
+    clicks_frame = W["FocusLabelFrame"](side, text="Clicks")
+    clicks_frame.pack(fill="x", pady=(8, 0))
+    W["FocusButton"](clicks_frame, text="undo click", command=lambda: (
+        controller.undo_click(), redraw())).pack(fill="x")
+    W["FocusButton"](clicks_frame, text="reset clicks", command=lambda: (
         controller.reset_last_object(), redraw())).pack(fill="x")
-    tk.Button(side, text="finish object", command=lambda: (
+    W["FocusButton"](clicks_frame, text="finish object", command=lambda: (
         controller.finish_object(), redraw())).pack(fill="x")
 
     redraw()

@@ -75,6 +75,19 @@ class InteractiveController:
         if self.image is not None:
             self.reset_last_object()
 
+    def set_net_clicks_limit(self, limit: Optional[int]) -> None:
+        """GUI 'network clicks' entry (reference app.py state
+        net_clicks_limit, INF = no limit): rebuild the predictor with the
+        new truncation; the in-progress object resets (its cached
+        predictions used the old limit), finished objects stay."""
+        if limit == self.cfg.net_clicks_limit:
+            return
+        import dataclasses
+        self.cfg = dataclasses.replace(self.cfg, net_clicks_limit=limit)
+        self.predictor = self._build_predictor(self.brs_mode)
+        if self.image is not None:
+            self.reset_last_object()
+
     def reset_last_object(self) -> None:
         assert self.image is not None
         h, w = self.image.shape[:2]

@@ -120,3 +120,44 @@ def test_view_transform():
     out = t.render(panel)
     assert out.ndim == 3 and out.shape[2] == 3
     assert out.shape[0] <= t.vh + 2 and out.shape[1] <= t.vw + 2
+
+
+def test_validate_bounded_policy():
+    """demo_widgets.validate_bounded — the pure core of the reference's
+    BoundedNumericalEntry validation (interactive_demo/wrappers.py:30-55):
+    in-bounds values coerce and accept; out-of-bounds / unparsable reject
+    (caller reverts); 'INF' accepted only with allow_inf."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from demo_widgets import validate_bounded
+
+    assert validate_bounded("5", int, 1, 96) == (True, 5)
+    assert validate_bounded("0", int, 1, 96) == (False, None)
+    assert validate_bounded("97", int, 1, 96) == (False, None)
+    assert validate_bounded("abc", int, 1, 96) == (False, None)
+    assert validate_bounded("2.5", int, 1, 96) == (False, None)
+    assert validate_bounded("0.3", float, 0.0, 1.0) == (True, 0.3)
+    assert validate_bounded("INF", int, 1, 96, allow_inf=True) == (True, "INF")
+    assert validate_bounded("INF", int, 1, 96) == (False, None)
+    # unbounded sides
+    assert validate_bounded("-4", int) == (True, -4)
+
+
+def test_controller_net_clicks_limit_switch():
+    """set_net_clicks_limit rebuilds the predictor with the new truncation
+    and resets the in-progress object; a no-op value keeps the predictor."""
+    c = make_controller()
+    c.add_click(20, 20, True)
+    assert len(c.clicks_list) == 1
+    pred0 = c.predictor
+    c.set_net_clicks_limit(None)              # no-op: already None
+    assert c.predictor is pred0
+    c.set_net_clicks_limit(1)
+    assert c.predictor is not pred0
+    assert c.cfg.net_clicks_limit == 1
+    assert len(c.clicks_list) == 0            # in-progress object reset
+    c.add_click(20, 20, True)
+    c.add_click(40, 40, False)                # session accepts > limit clicks
+    assert len(c.clicks_list) == 2
+    assert np.isfinite(c.current_object_prob).all()
