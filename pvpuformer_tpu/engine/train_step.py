@@ -95,16 +95,56 @@ def _round_losses(cfg: TrainConfig, out: Dict[str, jnp.ndarray],
     return total
 
 
-def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
-                     key: jax.Array, num_iters: int
-                     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-    """Loss + logs for one batch. batch keys: image (B,H,W,3) in [0,1],
-    instances (B,H,W,1), points (B,2N,3), scribbles (B,S,2),
-    scribble_rects (B,4), and optionally captions (B, context_length) int32
-    CLIP token ids (trainer.py:321,393-395 caption co-training: the text
-    embedding rides the DMA query stream every round — the reference's
-    as_click flag routes text only into round 0, but its model drops the
-    captions entirely; see models/vpu.caption_queries)."""
+def _round_forward(params, cfg: TrainConfig, fwd, net_input, points, boxes,
+                   scribbles, rects, prompt_type, captions, gt, ed_mask,
+                   w: float, k: int):
+    """One iterloss round: model forward + that round's losses.
+
+    This is the remat (jax.checkpoint) unit when cfg.remat is on. The
+    checkpoint boundary must enclose the LOSSES, not just the model forward:
+    out["instances_aux"] is (B, H, W, 2N) — 616 MB at the shipped recipe's
+    b32/448²/24pts — and if the loss consumes it outside the checkpoint it
+    becomes a saved residual that stays live until that round's backward.
+    With three rounds pending that alone OOMed the 16G v5e chip (measured:
+    b32 ni=3 exceeded HBM by 239M with the forward-only boundary). Here the
+    only values escaping a round are scalars (loss, logs) and instances
+    (B, H, W, 1), so per-pending-round residency is just the round inputs.
+    """
+    out = fwd(params, cfg.model, net_input, points, boxes.astype(jnp.float32),
+              scribbles, rects, prompt_type, captions=captions)
+    logs: Dict[str, jnp.ndarray] = {}
+    total = _round_losses(cfg, out, gt, ed_mask, w, logs, k)
+    return total, logs, out["instances"]
+
+
+def _round_loss_aux(params, cfg, fwd, net_input, points, boxes, scribbles,
+                    rects, prompt_type, captions, gt, ed_mask, w, k):
+    """(loss, aux) form of _round_forward for per-round value_and_grad."""
+    total, logs, instances = _round_forward(
+        params, cfg, fwd, net_input, points, boxes, scribbles, rects,
+        prompt_type, captions, gt, ed_mask, w, k)
+    return total, (logs, instances)
+
+
+def _iterloss_loop(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
+                   key: jax.Array, num_iters: int, with_grads: bool):
+    """Shared iterloss round loop; see iterloss_forward for semantics.
+
+    with_grads=False: returns (total, aux, None) — one joint computation,
+    differentiable as a whole (cfg.remat checkpoints each round).
+
+    with_grads=True: returns (total, aux, grads) with grads accumulated by a
+    per-round jax.value_and_grad. This is valid because NO gradient crosses
+    rounds — prev is stop_gradient'd (trainer.py:427-431 semantics), points/
+    boxes/ed_mask come from the no-grad prompt sim — so d(total)/d(params) =
+    sum_k d(loss_k)/d(params) exactly. Each round completes its own
+    forward+backward before the next begins, so peak HBM is one round's
+    fwd+bwd + the grad accumulator, independent of num_iters. That is what
+    lets the SHIPPED recipe (b32, up to 3 rounds, vpu_base448_cocolvis.py)
+    fit one 16G v5e chip: the whole-loop backward needed 15.9-16.2G (OOM,
+    measured 2026-08-21 remat on or off) vs ~13G this way — and it is also
+    faster than jax.checkpoint, which would recompute each round's forward.
+    """
     image = batch["image"]
     captions = batch.get("captions")
     gt = batch["instances"].astype(jnp.float32)
@@ -134,14 +174,23 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
         fwd = jax.checkpoint(fwd, static_argnums=(1,))
 
     if not cfg.use_iterloss:
-        return _itermask_forward(params, cfg, fwd, image, gt, points,
-                                 scribbles, rects, ed_mask, prev, key,
-                                 num_iters)
+        total, aux = _itermask_forward(params, cfg, fwd, image, gt, points,
+                                       scribbles, rects, ed_mask, prev, key,
+                                       num_iters)
+        return total, aux, None
 
+    # Iterloss remat unit = the whole round incl. losses (see _round_forward);
+    # the plain (un-checkpointed) forward goes inside it. Irrelevant in
+    # with_grads mode: each round is already its own backward.
+    round_fn = _round_forward
+    if cfg.remat and not with_grads:
+        round_fn = jax.checkpoint(
+            _round_forward, static_argnums=(1, 2, 12, 13))
+
+    grads = None
     total = jnp.float32(0.0)
     logs: Dict[str, jnp.ndarray] = {}
     no_boxes = jnp.zeros((b, 5), jnp.int32)
-    out = None
     # Box synthesis (connected components + bbox) is by far the most
     # expensive prompt-sim piece on TPU (~78 ms vs 31 ms for the whole model
     # fwd+bwd at b8/448, scripts/profile_train.py), but the round only
@@ -168,16 +217,31 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
 
         net_input = jnp.concatenate(
             [image, jax.lax.stop_gradient(prev).astype(image.dtype)], axis=-1)
-        out = fwd(params, cfg.model, net_input, points,
-                  boxes.astype(jnp.float32), scribbles, rects, prompt_type,
-                  captions=captions)
+        round_args = (params, cfg, vpu_forward_traced_type, net_input, points,
+                      boxes, scribbles, rects, prompt_type, captions, gt,
+                      ed_mask, cfg.iterloss_weights[k], k)
+        if with_grads:
+            (round_total, (round_logs, instances)), g = jax.value_and_grad(
+                _round_loss_aux, has_aux=True)(*round_args)
+            grads = g if grads is None else \
+                jax.tree_util.tree_map(jnp.add, grads, g)
+        else:
+            round_total, round_logs, instances = round_fn(*round_args)
+        total += round_total
+        logs.update(round_logs)
 
-        total += _round_losses(cfg, out, gt, ed_mask,
-                               cfg.iterloss_weights[k], logs, k)
-
-        prev = out["instances"].astype(jnp.float32) if cfg.pclout else \
-            jax.nn.sigmoid(out["instances"].astype(jnp.float32))
+        prev = instances.astype(jnp.float32) if cfg.pclout else \
+            jax.nn.sigmoid(instances.astype(jnp.float32))
         prev = jax.lax.stop_gradient(prev)
+
+        if with_grads and k < num_iters - 1:
+            # Nothing makes round k's backward a data dependency of round
+            # k+1's forward, and XLA's scheduler happily interleaves them —
+            # which re-creates the all-rounds-live peak this mode exists to
+            # avoid (measured: b32 ni=2 OOMed without this barrier while
+            # ni=1 fit with 3.8G headroom). Tying the accumulated grads to
+            # `prev` forces each round's fwd+bwd to fully retire first.
+            grads, prev = jax.lax.optimization_barrier((grads, prev))
 
         if k < num_iters - 1:
             key, kn, kb, ktn = jax.random.split(key, 4)
@@ -200,9 +264,38 @@ def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
                 prev = prev * keep
 
     logs["loss"] = total
-    aux = {"logs": logs, "final_instances": out["instances"],
+    aux = {"logs": logs, "final_instances": instances,
            "points": points}
+    return total, aux, grads
+
+
+def iterloss_forward(params, cfg: TrainConfig, batch: Dict[str, jnp.ndarray],
+                     key: jax.Array, num_iters: int
+                     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Loss + logs for one batch. batch keys: image (B,H,W,3) in [0,1],
+    instances (B,H,W,1), points (B,2N,3), scribbles (B,S,2),
+    scribble_rects (B,4), and optionally captions (B, context_length) int32
+    CLIP token ids (trainer.py:321,393-395 caption co-training: the text
+    embedding rides the DMA query stream every round — the reference's
+    as_click flag routes text only into round 0, but its model drops the
+    captions entirely; see models/vpu.caption_queries)."""
+    total, aux, _ = _iterloss_loop(params, cfg, batch, key, num_iters,
+                                   with_grads=False)
     return total, aux
+
+
+def iterloss_value_and_grad(params, cfg: TrainConfig, batch, key,
+                            num_iters: int):
+    """(loss, aux), grads — with per-round grad accumulation on the iterloss
+    path (see _iterloss_loop: gradient-equivalent and ~3G less peak HBM than
+    differentiating the whole loop). The itermask branch has a single
+    supervised forward, so plain value_and_grad is already minimal there."""
+    if cfg.use_iterloss:
+        total, aux, grads = _iterloss_loop(params, cfg, batch, key,
+                                           num_iters, with_grads=True)
+        return (total, aux), grads
+    return jax.value_and_grad(iterloss_forward, has_aux=True)(
+        params, cfg, batch, key, num_iters)
 
 
 def _itermask_forward(params, cfg: TrainConfig, fwd, image, gt, points,
@@ -250,8 +343,8 @@ def train_step(params, opt_state, batch, key, metric_thresholds,
                num_iters: int):
     """One optimization step. Returns (params, opt_state, logs, metric_ious,
     metric_valid). metric_* feed AdaptiveIoU on host (engine/metrics.py)."""
-    (loss, aux), grads = jax.value_and_grad(
-        iterloss_forward, has_aux=True)(params, cfg, batch, key, num_iters)
+    (loss, aux), grads = iterloss_value_and_grad(params, cfg, batch, key,
+                                                 num_iters)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
 

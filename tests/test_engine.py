@@ -537,3 +537,40 @@ def test_train_step_attention_stays_bf16():
         N.sdpa = orig
     bad = sorted({(str(d), s) for d, s in seen if d != jnp.bfloat16})
     assert seen and not bad, f"f32-promoted attention inputs: {bad}"
+
+
+def test_per_round_grads_match_joint_backward():
+    """train_step's iterloss path accumulates per-round value_and_grad
+    (train_step._iterloss_loop with_grads=True) instead of differentiating
+    the whole round loop: valid because prev/points/ed_mask are all
+    stop-gradient, so no gradient crosses rounds. This is what lets the
+    shipped recipe (b32, up to 3 rounds) fit one 16G v5e chip (whole-loop
+    backward needed 15.9-16.2G, measured 2026-08-21). Pin the gradient
+    equivalence against the joint backward."""
+    from pvpuformer_tpu.engine.train_step import (iterloss_forward,
+                                                  iterloss_value_and_grad)
+    from pvpuformer_tpu.models.vpu import init_vpu
+
+    mcfg = tiny_cfg()
+    cfg = TrainConfig(model=mcfg, remat=True)
+    params = init_vpu(jax.random.key(0), mcfg)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(0, b=2).items()}
+    key = jax.random.key(1)
+
+    for ni in (1, 3):
+        (l1, aux1), g1 = jax.value_and_grad(iterloss_forward, has_aux=True)(
+            params, cfg, batch, key, ni)
+        (l2, aux2), g2 = iterloss_value_and_grad(params, cfg, batch, key, ni)
+        assert float(l1) == pytest.approx(float(l2), abs=1e-5)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        flat2 = jax.tree_util.tree_leaves(g2)
+        assert len(flat1) == len(flat2)
+        scale = max(float(jnp.max(jnp.abs(a))) for a in flat1)
+        worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+                    zip(flat1, flat2))
+        # identical math, different accumulation order (fwd vs reverse)
+        assert worst <= 1e-5 * max(scale, 1.0), (worst, scale)
+        np.testing.assert_allclose(
+            np.asarray(aux1["final_instances"], np.float32),
+            np.asarray(aux2["final_instances"], np.float32), atol=1e-5)
+        assert set(aux1["logs"]) == set(aux2["logs"])
