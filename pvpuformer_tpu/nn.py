@@ -492,6 +492,47 @@ def _softmax_bf16_bwd(p, g):
 _softmax_bf16.defvjp(_softmax_bf16_fwd, _softmax_bf16_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sdpa_bf16(q, k, v, scale: float):
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * jnp.bfloat16(scale)
+    probs = _softmax_bf16(logits)
+    return jnp.einsum("...hqk,...khd->...qhd", probs, v)
+
+
+def _sdpa_bf16_fwd(q, k, v, scale):
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * jnp.bfloat16(scale)
+    probs = _softmax_bf16(logits)
+    out = jnp.einsum("...hqk,...khd->...qhd", probs, v)
+    return out, (q, k, v, probs)
+
+
+def _sdpa_bf16_bwd(scale, res, g):
+    # Hand-structured backward: same math as autodiff (bf16 probs residual,
+    # f32-accum softmax inner product, ds cast to bf16 before the dq/dk
+    # matmuls) but with the contractions WRITTEN in their natural einsum
+    # forms instead of XLA-transposed fwd ops. XLA's transpose of the fwd
+    # einsums picked degenerate layouts for the (..., h, q, k) score-matrix
+    # operands — the b32 ni=3 train trace showed those fusions at ~10% MXU,
+    # ~113 ms/step total; this VJP alone is -29% (window) / -20% (global)
+    # per attention fwd+bwd in scripts/bench_attn.py (2026-08-21). A Pallas
+    # flash fwd+bwd (stock kernels, padded 196->256 / 784->896 with segment
+    # ids) was measured 2-3x SLOWER than dense at these shapes and stays
+    # out (same conclusion as the round-2 inference A/B).
+    q, k, v, p = res
+    dv = jnp.einsum("...hqk,...qhd->...khd", p, g)
+    dp = jnp.einsum("...qhd,...khd->...hqk", g, v)
+    s = jnp.einsum("...hqk,...hqk->...hq", p, dp,
+                   preferred_element_type=jnp.float32)
+    ds = (p.astype(jnp.float32) *
+          (dp.astype(jnp.float32) - s[..., None])).astype(jnp.bfloat16)
+    dq = jnp.einsum("...hqk,...khd->...qhd", ds, k) * jnp.bfloat16(scale)
+    dk = jnp.einsum("...hqk,...qhd->...khd", ds, q) * jnp.bfloat16(scale)
+    return dq, dk, dv
+
+
+_sdpa_bf16.defvjp(_sdpa_bf16_fwd, _sdpa_bf16_bwd)
+
+
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
          scale: Optional[float] = None) -> jnp.ndarray:
     """Scaled dot-product attention over (..., N, H, Dh) -> (..., N, H, Dh).
@@ -505,12 +546,10 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # (the dominant non-matmul cost at ViT-B@448 shapes — 0.5 ms/click
     # measured) and the rounding is below bf16 output noise. f32/f64 inputs
     # are unchanged (the cast is identity). Softmax math stays f32, but in
-    # bf16 the saved residual and the VJP run in bf16 (_softmax_bf16) —
-    # the f32 prob residuals were 59 MB/layer copies in the train trace.
+    # bf16 the saved residual and the VJP run in bf16 — with the backward
+    # contractions hand-structured (_sdpa_bf16_bwd).
     if q.dtype == jnp.bfloat16:
-        logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * jnp.bfloat16(scale)
-        probs = _softmax_bf16(logits)
-        return jnp.einsum("...hqk,...khd->...qhd", probs, v)
+        return _sdpa_bf16(q, k, v, float(scale))
     logits = (jnp.einsum("...qhd,...khd->...hqk", q, k,
                          preferred_element_type=jnp.float32)
               * scale).astype(q.dtype)

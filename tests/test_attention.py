@@ -95,3 +95,30 @@ def test_softmax_bf16_vjp_matches_f64_autodiff():
         logits.astype(jnp.float64))
     np.testing.assert_allclose(np.asarray(g, np.float64), np.asarray(ref),
                                atol=0.005, rtol=0.05)
+
+
+def test_sdpa_bf16_manual_vjp_matches_f64_autodiff():
+    """The bf16 sdpa's hand-structured backward (nn._sdpa_bf16_bwd — natural
+    einsum forms instead of XLA-transposed fwd ops; -20..-29% per attention
+    fwd+bwd at the b32 training shapes, scripts/bench_attn.py 2026-08-21)
+    vs autodiff through an f64 dense attention on identical values."""
+    r = rng(11)
+    b, n, h, d = 2, 52, 3, 16
+    q = jnp.asarray(r.standard_normal((b, n, h, d)), jnp.bfloat16)
+    k = jnp.asarray(r.standard_normal((b, n, h, d)), jnp.bfloat16)
+    v = jnp.asarray(r.standard_normal((b, n, h, d)), jnp.bfloat16)
+    w = jnp.asarray(r.standard_normal((b, n, h, d)), jnp.bfloat16)
+
+    def loss_bf16(q, k, v):
+        return jnp.sum((nn.sdpa(q, k, v) * w).astype(jnp.float32))
+
+    def loss_f64(q, k, v):
+        return jnp.sum(nn.sdpa(q, k, v) * w.astype(jnp.float64))
+
+    grads = jax.grad(loss_bf16, argnums=(0, 1, 2))(q, k, v)
+    refs = jax.grad(loss_f64, argnums=(0, 1, 2))(
+        q.astype(jnp.float64), k.astype(jnp.float64), v.astype(jnp.float64))
+    for g, ref, name in zip(grads, refs, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(ref),
+            atol=0.05, rtol=0.05, err_msg=f"d{name}")
