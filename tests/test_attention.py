@@ -50,7 +50,10 @@ def test_flash_grad_matches_sdpa():
 def test_ln_bf16_custom_vjp_matches_f64_autodiff():
     """layer_norm's bf16 path (_ln_bf16: bf16 residuals, analytic backward)
     must produce the same gradients as plain autodiff through the f64 LN on
-    the identical (bf16-valued) inputs, to bf16 output precision."""
+    the identical (bf16-valued) inputs, to bf16 output precision.
+
+    The f64 reference runs under jax.enable_x64(True) — without it the
+    `.astype(float64)` casts silently truncate to f32 (r4 advisor)."""
     r = rng(7)
     d = 96
     x = jnp.asarray(r.standard_normal((4, 33, d)) * 2.0, jnp.bfloat16)
@@ -69,15 +72,18 @@ def test_ln_bf16_custom_vjp_matches_f64_autodiff():
         return jnp.sum((y * p64["scale"] + p64["bias"]) * w.astype(jnp.float64))
 
     gx, gp = jax.grad(loss_ours, argnums=(0, 1))(x, p)
-    x64 = x.astype(jnp.float64)
-    p64 = jax.tree.map(lambda a: a.astype(jnp.float64), p)
-    rx, rp = jax.grad(loss_ref, argnums=(0, 1))(x64, p64)
+    with jax.enable_x64(True):
+        x64 = x.astype(jnp.float64)
+        p64 = jax.tree.map(lambda a: a.astype(jnp.float64), p)
+        rx, rp = jax.grad(loss_ref, argnums=(0, 1))(x64, p64)
+        assert rx.dtype == jnp.float64
+        rx, rp = np.asarray(rx), jax.tree.map(np.asarray, rp)
 
-    np.testing.assert_allclose(np.asarray(gx, np.float64), np.asarray(rx),
+    np.testing.assert_allclose(np.asarray(gx, np.float64), rx,
                                atol=0.02, rtol=0.05)
-    np.testing.assert_allclose(np.asarray(gp["scale"]), np.asarray(rp["scale"]),
+    np.testing.assert_allclose(np.asarray(gp["scale"]), rp["scale"],
                                atol=0.15, rtol=0.02)
-    np.testing.assert_allclose(np.asarray(gp["bias"]), np.asarray(rp["bias"]),
+    np.testing.assert_allclose(np.asarray(gp["bias"]), rp["bias"],
                                atol=0.15, rtol=0.02)
 
 
@@ -90,10 +96,13 @@ def test_softmax_bf16_vjp_matches_f64_autodiff():
 
     g = jax.grad(lambda l: jnp.sum(
         (nn._softmax_bf16(l) * w).astype(jnp.float32)))(logits)
-    ref = jax.grad(lambda l: jnp.sum(
-        jax.nn.softmax(l, -1) * w.astype(jnp.float64)))(
-        logits.astype(jnp.float64))
-    np.testing.assert_allclose(np.asarray(g, np.float64), np.asarray(ref),
+    with jax.enable_x64(True):
+        ref = jax.grad(lambda l: jnp.sum(
+            jax.nn.softmax(l, -1) * w.astype(jnp.float64)))(
+            logits.astype(jnp.float64))
+        assert ref.dtype == jnp.float64
+        ref = np.asarray(ref)
+    np.testing.assert_allclose(np.asarray(g, np.float64), ref,
                                atol=0.005, rtol=0.05)
 
 
@@ -116,9 +125,13 @@ def test_sdpa_bf16_manual_vjp_matches_f64_autodiff():
         return jnp.sum(nn.sdpa(q, k, v) * w.astype(jnp.float64))
 
     grads = jax.grad(loss_bf16, argnums=(0, 1, 2))(q, k, v)
-    refs = jax.grad(loss_f64, argnums=(0, 1, 2))(
-        q.astype(jnp.float64), k.astype(jnp.float64), v.astype(jnp.float64))
+    with jax.enable_x64(True):
+        refs = jax.grad(loss_f64, argnums=(0, 1, 2))(
+            q.astype(jnp.float64), k.astype(jnp.float64),
+            v.astype(jnp.float64))
+        assert all(ref.dtype == jnp.float64 for ref in refs)
+        refs = [np.asarray(ref) for ref in refs]
     for g, ref, name in zip(grads, refs, "qkv"):
         np.testing.assert_allclose(
-            np.asarray(g, np.float64), np.asarray(ref),
+            np.asarray(g, np.float64), ref,
             atol=0.05, rtol=0.05, err_msg=f"d{name}")
