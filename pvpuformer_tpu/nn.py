@@ -510,14 +510,16 @@ def _sdpa_bf16_bwd(scale, res, g):
     # Hand-structured backward: same math as autodiff (bf16 probs residual,
     # f32-accum softmax inner product, ds cast to bf16 before the dq/dk
     # matmuls) but with the contractions WRITTEN in their natural einsum
-    # forms instead of XLA-transposed fwd ops. XLA's transpose of the fwd
-    # einsums picked degenerate layouts for the (..., h, q, k) score-matrix
-    # operands — the b32 ni=3 train trace showed those fusions at ~10% MXU,
-    # ~113 ms/step total; this VJP alone is -29% (window) / -20% (global)
-    # per attention fwd+bwd in scripts/bench_attn.py (2026-08-21). A Pallas
-    # flash fwd+bwd (stock kernels, padded 196->256 / 784->896 with segment
-    # ids) was measured 2-3x SLOWER than dense at these shapes and stays
-    # out (same conclusion as the round-2 inference A/B).
+    # forms instead of XLA-transposed fwd ops, and the score residual kept
+    # bf16 (autodiff through jax.nn.softmax saves its f32 output).
+    # scripts/bench_attn.py at the b32 train shapes (2026-08-21, v5e):
+    # -7% (window 3.17 vs 3.40 ms) / wash (global 7.79 vs 7.79) per
+    # attention fwd+bwd vs plain autodiff of the same bf16 math — worth
+    # ~4% of the full b32 step (906.9 vs 943.3 ms at ni=3). A Pallas flash
+    # fwd+bwd (stock kernels, padded 196->256 / 784->896 with segment ids)
+    # measured 2.9x / 1.26x SLOWER than dense at these shapes and stays
+    # out (same conclusion as the round-2 inference A/B; README
+    # "Train-shape attention microbench").
     q, k, v, p = res
     dv = jnp.einsum("...hqk,...qhd->...khd", p, g)
     dp = jnp.einsum("...qhd,...khd->...hqk", g, v)

@@ -63,6 +63,27 @@ def main() -> None:
         ms = device_time_per_call(dense_fwd_bwd, (q, k, v))
         print(f"{name} dense sdpa fwd+bwd:      {ms:8.3f} ms", flush=True)
 
+        # the PRE-custom-VJP baseline: same forward math, plain autodiff
+        # backward (XLA transposes the fwd einsums; jax.nn.softmax saves its
+        # f32 output as the residual) — what nn.sdpa compiled to before
+        # _sdpa_bf16's hand-structured VJP landed (r4)
+        def autodiff_sdpa(q, k, v):
+            scale = 1.0 / float(np.sqrt(q.shape[-1]))
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.bfloat16(scale)
+            p = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1).astype(q.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+        def autodiff_fwd_bwd(c, q, k, v):
+            def loss(q, k, v):
+                o = autodiff_sdpa(q + c.astype(q.dtype), k, v)
+                return jnp.sum(o.astype(jnp.float32))
+            l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+            return l + sum(jnp.sum(g).astype(jnp.float32) for g in grads)
+
+        ms = device_time_per_call(autodiff_fwd_bwd, (q, k, v))
+        print(f"{name} autodiff (pre-r4) f+b:   {ms:8.3f} ms", flush=True)
+
         def dense_fwd(c, q, k, v):
             return jnp.sum(
                 N.sdpa(q + c.astype(q.dtype), k, v).astype(jnp.float32))

@@ -108,9 +108,10 @@ def test_softmax_bf16_vjp_matches_f64_autodiff():
 
 def test_sdpa_bf16_manual_vjp_matches_f64_autodiff():
     """The bf16 sdpa's hand-structured backward (nn._sdpa_bf16_bwd — natural
-    einsum forms instead of XLA-transposed fwd ops; -20..-29% per attention
-    fwd+bwd at the b32 training shapes, scripts/bench_attn.py 2026-08-21)
-    vs autodiff through an f64 dense attention on identical values."""
+    einsum forms instead of XLA-transposed fwd ops, bf16 score residuals;
+    -7% window / wash global per attention fwd+bwd at the b32 training
+    shapes, scripts/bench_attn.py 2026-08-21) vs autodiff through an f64
+    dense attention on identical values."""
     r = rng(11)
     b, n, h, d = 2, 52, 3, 16
     q = jnp.asarray(r.standard_normal((b, n, h, d)), jnp.bfloat16)
