@@ -73,8 +73,10 @@ class ISTrainDataset:
             else int(rng.integers(0, n_raw))
         sample = self.get_raw_sample(raw_idx)
 
-        image, masks = sample.image, np.stack([m.astype(np.int32)
-                                               for m in sample.masks])
+        image = sample.image
+        # stack first, single cast after (copy=False: every dataset impl
+        # already emits int32 masks — per-mask astype was a pure memcpy)
+        masks = np.stack(sample.masks).astype(np.int32, copy=False)
         if self.augmentator is not None:
             for _ in range(8):          # retry until a valid object survives
                 aug_img, aug_masks = self.augmentator(rng, image, masks)
@@ -90,8 +92,10 @@ class ISTrainDataset:
         scr, rect = cal_scribble_single(
             rng, target, num_samples=self.num_scribble_samples)
 
+        img_f32 = image.astype(np.float32)
+        img_f32 *= np.float32(1.0 / 255.0)          # in place: one temp, not two
         return {
-            "image": image.astype(np.float32) / 255.0,
+            "image": img_f32,
             "instances": target[..., None].astype(np.float32),
             "points": points,
             "scribbles": scr,

@@ -7,9 +7,8 @@ are assembled by a thread pool and prefetched ahead of the device step.
 """
 from __future__ import annotations
 
-import queue
-import threading
-from concurrent.futures import ThreadPoolExecutor
+import multiprocessing
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator
 
 import numpy as np
@@ -19,12 +18,33 @@ def _collate(records) -> Dict[str, np.ndarray]:
     return {k: np.stack([r[k] for r in records]) for k in records[0]}
 
 
+# worker-process state: the dataset is shipped ONCE per worker via the pool
+# initializer (torch DataLoader inherits it the same way under fork /
+# forkserver, trainer.py:182 + exp.py:32) — submitting it per record would
+# re-pickle the annotation tables on every task.
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(i: int):
+    return _WORKER_DATASET[i]
+
+
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
                  drop_last: bool = True, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, worker_type: str = "thread"):
+        """worker_type: "thread" (default; decode/augment libs that release
+        the GIL) or "process" (a fork ProcessPoolExecutor — the reference's
+        multi-process DataLoader equivalent, for GIL-bound pipelines;
+        measured A/B in scripts/bench_loader.py)."""
         assert batch_size % process_count == 0
+        assert worker_type in ("thread", "process"), worker_type
         self.dataset = dataset
         self.global_batch = batch_size
         self.local_batch = batch_size // process_count
@@ -35,6 +55,7 @@ class Loader:
         self.drop_last = drop_last
         self.pidx = process_index
         self.pcount = process_count
+        self.worker_type = worker_type
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -66,10 +87,18 @@ class Loader:
         # fan records out individually (not one task per batch) so a single
         # slow decode doesn't serialize its whole batch; batches still arrive
         # in order, `prefetch` batches ahead.
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        if self.worker_type == "process":
+            ctx = multiprocessing.get_context("fork")
+            pool = ProcessPoolExecutor(self.num_workers, mp_context=ctx,
+                                       initializer=_init_worker,
+                                       initargs=(self.dataset,))
+            get = _worker_get
+        else:
+            pool = ThreadPoolExecutor(self.num_workers)
+            get = self.dataset.__getitem__
+        with pool:
             def submit(bi: int):
-                return [pool.submit(self.dataset.__getitem__, int(i))
-                        for i in local_idxs(bi)]
+                return [pool.submit(get, int(i)) for i in local_idxs(bi)]
 
             pending = [submit(bi) for bi in range(min(self.prefetch, nb))]
             nxt = len(pending)
