@@ -51,12 +51,20 @@ class BatchedEvaluator:
 
     def __init__(self, params, cfg: PredictorConfig, batch_size: int = 8,
                  mesh=None, int8: bool = False):
+        import dataclasses
+
         from ..nn import cast_params
         self.params = cast_params(params, cfg.model.dtype)
         if int8:
             from ..nn import quantize_params
             self.params = quantize_params(self.params)
-        self.cfg = cfg
+        # batched-mode EDT selection (measured, scripts/profile_batched.py
+        # 2026-08-21, b16x448^2x20): one unchunked min-plus block + the
+        # dense pass-1 -> 204.3 clicks/s vs 179.6 for the single-session
+        # defaults (chunk=32/scan there wins VMEM competition with the b2
+        # model; across 16 vmapped sessions the big fused reductions win).
+        # Outputs are bit-identical (test_squared_edt_dense_rows_bit_identical).
+        self.cfg = dataclasses.replace(cfg, edt_chunk=None, edt_rows="dense")
         self.batch_size = batch_size
         self.mesh = mesh
         if mesh is not None:

@@ -90,6 +90,11 @@ class PredictorConfig:
     # (one unchunked fused reduction) is 6.6x faster when the EDT runs
     # vmapped across sessions — batched evaluation sets None.
     edt_chunk: Optional[int] = 32
+    # EDT pass-1 form (ops/edt.squared_edt rows=): "scan" default; "dense"
+    # replaces the associative-scan column pass with a second min-plus
+    # reduction — bit-identical distances, ~2x EDT bucket win in the b16
+    # batched program (trace 2026-08-21) — batched evaluation sets it.
+    edt_rows: str = "scan"
 
 
 class SessionState(NamedTuple):
@@ -548,7 +553,8 @@ def click_step(params, cfg: PredictorConfig, state: SessionState):
     from ..ops.edt import resolve_impl
     is_pos, cy, cx, _ = next_click_from_error(fn, fp, state.not_clicked,
                                               impl=resolve_impl(cfg.edt_impl),
-                                              chunk=cfg.edt_chunk)
+                                              chunk=cfg.edt_chunk,
+                                              rows=cfg.edt_rows)
 
     order = state.click_count.astype(jnp.float32)
     row = jnp.stack([cy.astype(jnp.float32), cx.astype(jnp.float32), order])

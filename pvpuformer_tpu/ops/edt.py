@@ -52,6 +52,28 @@ def _col_dist(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(d_up, d_dn).astype(jnp.int32)
 
 
+def _col_dist2_dense(mask: jnp.ndarray) -> jnp.ndarray:
+    """Pass 1 in the SAME dense min-plus form as pass 2: dcol²[r, c] =
+    min_{r'} (r - r')² over zero rows r' (virtual zeros at -1 and H).
+
+    Numerically identical to `_col_dist`² (exact integers in f32; the BIG
+    sentinel keeps masked rows above any real distance but below f32's
+    exact-integer range). Why it exists: the associative max/min scans of
+    `_col_dist` lower to ~15 ms/round of odd-sized slice/concat steps in the
+    b16 batched-eval program (trace 2026-08-21), while ONE fused
+    broadcast+min reduction of the identical shape family as pass 2 runs in
+    ~2.4 ms — the batched evaluator therefore selects rows="dense"
+    (PredictorConfig.edt_rows)."""
+    h = mask.shape[0]
+    rows = jnp.arange(h, dtype=jnp.float32)
+    off = jnp.square(rows[:, None] - rows[None, :])       # (H, H)
+    big = jnp.float32((2 * h + 2) ** 2)
+    z = jnp.where(mask, big, 0.0)                         # (H, W)
+    d = jnp.min(off[:, :, None] + z[None, :, :], axis=1)  # (H, W)
+    border = jnp.minimum(jnp.square(rows + 1.0), jnp.square(h - rows))
+    return jnp.minimum(d, border[:, None])
+
+
 _DEFAULT_IMPL = "xla"
 
 
@@ -64,19 +86,26 @@ def set_default_impl(impl: str) -> None:
     _DEFAULT_IMPL = impl
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "impl"))
+@functools.partial(jax.jit, static_argnames=("chunk", "impl", "rows"))
 def squared_edt(mask: jnp.ndarray, chunk: Optional[int] = 32,
-                impl: Optional[str] = None) -> jnp.ndarray:
+                impl: Optional[str] = None, rows: str = "scan") -> jnp.ndarray:
     """Exact squared EDT of (H, W) bool mask (distance to nearest zero/border).
 
     chunk sizes the min-plus pass's column blocks. Measured on v5e at 448^2:
     standalone, one unchunked fused block (chunk=None -> W) is ~2.5x faster
     (0.46 vs 1.12 ms/pair); INSIDE the full click-step program the ordering
     flips (4.22 ms/click at chunk=32 vs 4.38 unchunked — the big fused
-    reduce competes for VMEM with the model), so the default stays 32."""
+    reduce competes for VMEM with the model), so the default stays 32.
+
+    rows: "scan" (associative-scan pass 1) or "dense" (min-plus pass 1,
+    _col_dist2_dense) — bit-identical outputs; dense wins in the batched
+    evaluator, scan stays the single-session default."""
     h, w = mask.shape
-    dcol = _col_dist(mask)
-    dcol2 = jnp.square(dcol.astype(jnp.float32))          # (H, W)
+    if rows == "dense":
+        dcol2 = _col_dist2_dense(mask)                    # (H, W) f32
+    else:
+        dcol = _col_dist(mask)
+        dcol2 = jnp.square(dcol.astype(jnp.float32))      # (H, W)
 
     if (impl or _DEFAULT_IMPL) == "pallas":
         from .edt_pallas import minplus_rows
@@ -110,7 +139,8 @@ def squared_edt(mask: jnp.ndarray, chunk: Optional[int] = 32,
 
 
 def squared_edt_pair(fn_mask: jnp.ndarray, fp_mask: jnp.ndarray,
-                     impl: Optional[str] = None, chunk: Optional[int] = 32):
+                     impl: Optional[str] = None, chunk: Optional[int] = 32,
+                     rows: str = "scan"):
     """Both error-mask EDTs in one fused computation (the two transforms are
     independent — batching them halves the kernel's wall time vs two calls).
 
@@ -118,7 +148,7 @@ def squared_edt_pair(fn_mask: jnp.ndarray, fp_mask: jnp.ndarray,
     (VMEM competition with the model); None (one fused min-reduction) wins
     6.6x when the EDT runs standalone between model invocations, as in the
     vmapped training round loop (1.6 vs 10.7 ms for 16x448^2 on v5e)."""
-    d = jax.vmap(lambda m: squared_edt(m, chunk=chunk, impl=impl))(
+    d = jax.vmap(lambda m: squared_edt(m, chunk=chunk, impl=impl, rows=rows))(
         jnp.stack([fn_mask, fp_mask]))
     return d[0], d[1]
 
@@ -136,13 +166,15 @@ def resolve_impl(impl: Optional[str]) -> str:
 def next_click_from_error(fn_mask: jnp.ndarray, fp_mask: jnp.ndarray,
                           not_clicked: jnp.ndarray,
                           impl: Optional[str] = None,
-                          chunk: Optional[int] = 32):
+                          chunk: Optional[int] = 32,
+                          rows: str = "scan"):
     """Oracle next-click: center of the larger of the FN / FP error regions.
 
     Reproduces Clicker._get_next_click (clicker.py:29-56):
     returns (is_positive, y, x, max_sqdist).
     """
-    d_fn, d_fp = squared_edt_pair(fn_mask, fp_mask, impl=impl, chunk=chunk)
+    d_fn, d_fp = squared_edt_pair(fn_mask, fp_mask, impl=impl, chunk=chunk,
+                                  rows=rows)
     d_fn = d_fn * not_clicked
     d_fp = d_fp * not_clicked
     fn_max = jnp.max(d_fn)

@@ -53,12 +53,14 @@ def main() -> None:
     stacked = _stack_states(states)
 
     from pvpuformer_tpu.nn import quantize_params
-    variants = [("edt_chunk=32  ", params, 32),
-                ("edt_chunk=None", params, None),
-                ("int8 chunkNone", quantize_params(params), None)]
-    for label, pp, chunk in variants:
+    variants = [("chunk=32   rows=scan ", params, 32, "scan"),
+                ("chunk=None rows=scan ", params, None, "scan"),
+                ("chunk=None rows=dense", params, None, "dense"),
+                ("int8 chunkNone dense ", quantize_params(params), None,
+                 "dense")]
+    for label, pp, chunk, rows in variants:
         cfg = PredictorConfig(model=mcfg, target_size=(args.hw, args.hw),
-                              edt_chunk=chunk)
+                              edt_chunk=chunk, edt_rows=rows)
         # compile
         _, ious = batched_click_scan(pp, cfg, stacked, args.clicks)
         np.asarray(ious)
@@ -74,8 +76,11 @@ def main() -> None:
               flush=True)
         if args.json:
             import json
+            # "bf16" = the shipped BatchedEvaluator configuration (tracked
+            # metric); r5 moves that from chunkNone/scan to chunkNone/dense
             tag = "int8" if "int8" in label else \
-                ("bf16" if chunk is None else "bf16_chunked")
+                ("bf16" if chunk is None and rows == "dense" else
+                 "bf16_scan" if chunk is None else "bf16_chunked")
             print(json.dumps({
                 "metric": f"batched_eval_clicks_per_sec_vitb{args.hw}_{tag}",
                 "value": round(cps, 1), "unit": "clicks/s",

@@ -116,6 +116,26 @@ def test_squared_edt_border_and_blob():
     np.testing.assert_allclose(np.sqrt(ours), ref, atol=1e-3)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_squared_edt_dense_rows_bit_identical(seed):
+    """rows="dense" (_col_dist2_dense min-plus pass 1, the batched-eval
+    form) must be BIT-identical to the scan form — both exact integer
+    distances in f32 — including all-true (border-only) and empty masks,
+    and must match cv2's exact transform."""
+    r = rng(seed)
+    for mask in (r.random((37, 53)) > 0.4,
+                 np.ones((8, 9), bool),
+                 np.zeros((8, 9), bool),
+                 np.pad(np.ones((30, 1), bool), ((0, 0), (10, 12)))):
+        a = np.asarray(squared_edt(jnp.asarray(mask), rows="scan"))
+        b = np.asarray(squared_edt(jnp.asarray(mask), rows="dense"))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(np.sqrt(b), _cv2_edt(mask), atol=1e-3)
+        c = np.asarray(squared_edt(jnp.asarray(mask), rows="dense",
+                                   chunk=None))
+        np.testing.assert_array_equal(b, c)
+
+
 def test_next_click_matches_clicker_semantics():
     """Replicates Clicker._get_next_click (clicker.py:29-56) on random masks."""
     r = rng(7)
