@@ -33,21 +33,34 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def protocol_cfg(nmp: int = 24, crop=(224, 224)):
-    """The depth-4/768 config of the protocol-parity certification
-    (tests/test_reference_direct.py::_protocol_pair)."""
+def protocol_cfg(nmp: int = 24, crop=(224, 224), dim: int = 768):
+    """The depth-4 config of the protocol-parity certification
+    (tests/test_reference_direct.py::_protocol_pair) at a chosen width.
+
+    `dim` selects the quantization geometry of the shipped backbone sizes
+    (reference models_vit.py:306-319): 768 = ViT-B (12 heads, p16),
+    1024 = ViT-L (16 heads, p16), 1280 = ViT-H (16 heads, p14 — 16x16
+    token grid at 224 like the others). Depth stays 4 so the gate measures
+    per-click divergence of the QUANTIZED LINEAR GEOMETRY (per-channel
+    weight scales + per-token activation scales at that fan-in/fan-out),
+    not 24-32 blocks of compute; the full-width two-way neck and d_model
+    head match vpu_{large,huge}_config (models/vpu.py:90-120)."""
     from pvpuformer_tpu.models.fpn import NeckConfig
     from pvpuformer_tpu.models.seg_head import HeadConfig
+    from pvpuformer_tpu.models.two_way import TwoWayConfig
     from pvpuformer_tpu.models.vit import ViTConfig
     from pvpuformer_tpu.models.vpu import VPUConfig
 
+    heads = {768: 12, 1024: 16, 1280: 16}[dim]
+    patch = 14 if dim == 1280 else 16
     return VPUConfig(
-        backbone=ViTConfig(img_size=crop, patch_size=(16, 16), embed_dim=768,
-                           depth=4, num_heads=12),
-        neck=NeckConfig(in_dim=768, out_dims=(128, 256, 512, 1024),
-                        img_size=crop),
+        backbone=ViTConfig(img_size=crop, patch_size=(patch, patch),
+                           embed_dim=dim, depth=4, num_heads=heads),
+        neck=NeckConfig(in_dim=dim, out_dims=(128, 256, 512, 1024),
+                        img_size=crop,
+                        two_way=TwoWayConfig(embedding_dim=dim)),
         head=HeadConfig(in_channels=(128, 256, 512, 1024), channels=256,
-                        upsample="x1"),
+                        upsample="x1", d_model=dim),
         num_max_points=nmp)
 
 
@@ -134,6 +147,9 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=24)
     ap.add_argument("--clicks", type=int, default=6)
     ap.add_argument("--train-steps", type=int, default=0)
+    ap.add_argument("--dim", type=int, default=768,
+                    choices=[768, 1024, 1280],
+                    help="quantization geometry: ViT-B/L/H widths")
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args()
 
@@ -142,14 +158,14 @@ def main() -> None:
         jax.config.update("jax_platforms", args.platform)
     import jax
 
-    mcfg = protocol_cfg()
+    mcfg = protocol_cfg(dim=args.dim)
     from pvpuformer_tpu.models.vpu import init_vpu
     params = init_vpu(jax.random.key(0), mcfg)
     if args.train_steps:
         print(f"# training {args.train_steps} steps on synthetic blobs")
         params = train_synthetic(params, mcfg, args.train_steps)
 
-    print(f"# gate: depth-4/768@224, {args.samples} samples x "
+    print(f"# gate: depth-4/{args.dim}@224, {args.samples} samples x "
           f"{args.clicks} clicks, weights="
           f"{'trained' if args.train_steps else 'random-init'}")
     bf, seq_bf = run_sessions(params, mcfg, args.samples, args.clicks, False)
@@ -164,6 +180,7 @@ def main() -> None:
         first_div.append(k)
     delta = np.abs(bf - q)
     out = {
+        "dim": args.dim,
         "samples": args.samples, "clicks": args.clicks,
         "train_steps": args.train_steps,
         "seq_divergence_rate": round(len(diverged) / args.samples, 4),

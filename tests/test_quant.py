@@ -134,6 +134,38 @@ def test_int8_protocol_click_loop_bound():
     assert img.shape == (96, 128, 3) and gt.any()
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("dim", [1024, 1280])
+def test_int8_protocol_click_loop_bound_large_widths(dim):
+    """Extend the protocol-level int8 bound to the ViT-L/H quantization
+    geometries (VERDICT r4 #5): the serving table recommends int8 hardest at
+    the LARGE widths (1.44x at ViT-H), so the click-loop divergence bound
+    must hold at those per-channel-scale dynamics too — 1024-dim/16-head
+    (models_vit.py:311-314) and 1280-dim/16-head/p14 (models_vit.py:316-319)
+    quantized linears, not just ViT-B's 768/12.
+
+    Measured envelope (scripts/gate_int8.py --dim {1024,1280}, 24 samples x
+    6 clicks, random-init + trained-60, 2026-08-21; BASELINE.md "int8
+    accuracy gate"): max |dIoU| <= 0.0036 across all four runs, NoC@50/80
+    deltas 0. Bounds below give ~5x headroom, same policy as the 768 test
+    above."""
+    from scripts.gate_int8 import protocol_cfg, run_sessions
+    from pvpuformer_tpu.models.vpu import init_vpu
+
+    mcfg = protocol_cfg(dim=dim)
+    assert mcfg.backbone.embed_dim == dim
+    params = init_vpu(jax.random.key(0), mcfg)
+    n_samples, n_clicks = 4, 3
+    bf, seq_bf = run_sessions(params, mcfg, n_samples, n_clicks, int8=False)
+    q, seq_q = run_sessions(params, mcfg, n_samples, n_clicks, int8=True)
+
+    delta = np.abs(bf - q)
+    assert delta.mean() < 0.005, delta.mean()
+    assert delta.max() < 0.02, delta.max()
+    for s in range(n_samples):
+        assert seq_bf[s][0] == seq_q[s][0], (s, seq_bf[s][0], seq_q[s][0])
+
+
 def test_decoder_packed_in_proj_int8():
     from pvpuformer_tpu.models.decoder import (DecoderConfig, init_decoder,
                                                decoder_forward)
