@@ -38,6 +38,45 @@ def _stack_states(states: Sequence[SessionState]) -> SessionState:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
+def resolve_batched_cfg(cfg: PredictorConfig, batch_size: int,
+                        mesh=None, int8: bool = False) -> PredictorConfig:
+    """The shipped batched-mode configuration (also what profile_batched
+    times as the tracked metric).
+
+    * EDT selection (measured, scripts/profile_batched.py 2026-08-21,
+      b16x448^2x20): one unchunked min-plus block + the dense pass-1 ->
+      204.3 clicks/s vs 179.6 for the single-session defaults (chunk=32/
+      scan there wins VMEM competition with the b2 model; across 16
+      vmapped sessions the big fused reductions win). Outputs are
+      bit-identical (test_squared_edt_dense_rows_bit_identical).
+    * Attention: the model's "auto" resolution sees only the INNER flip
+      batch (the sessions axis is added by vmap in batched_click_scan), so
+      it would pick the dense path; fold the vmapped session count into
+      the score-work estimate here, where it is known, and pin the fused
+      kernel when the combined batch clears the crossover.
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, edt_chunk=None, edt_rows="dense")
+    bb = cfg.model.backbone
+    multi_dev = mesh is not None and mesh.devices.size > 1
+    # multi_dev: keep dense — GSPMD has no pallas_call partitioning rule
+    # (same guard as the "auto" resolution in models/vit.block_forward)
+    if (not int8 and not multi_dev and jax.default_backend() == "tpu"
+            and bb.attn_impl == "auto"):
+        from ..ops.fused_attention import MIN_SCORE_WORK
+        per_dev = batch_size // (mesh.shape["data"] if mesh is not None
+                                 else 1)
+        eff_b = per_dev * (2 if cfg.with_flip else 1)
+        n = bb.grid_size[0] * bb.grid_size[1]
+        if eff_b * bb.num_heads * n * n >= MIN_SCORE_WORK:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model,
+                    backbone=dataclasses.replace(bb, attn_impl="fused")))
+    return cfg
+
+
 class BatchedEvaluator:
     """Evaluate a dataset B sessions at a time.
 
@@ -51,20 +90,12 @@ class BatchedEvaluator:
 
     def __init__(self, params, cfg: PredictorConfig, batch_size: int = 8,
                  mesh=None, int8: bool = False):
-        import dataclasses
-
         from ..nn import cast_params
         self.params = cast_params(params, cfg.model.dtype)
         if int8:
             from ..nn import quantize_params
             self.params = quantize_params(self.params)
-        # batched-mode EDT selection (measured, scripts/profile_batched.py
-        # 2026-08-21, b16x448^2x20): one unchunked min-plus block + the
-        # dense pass-1 -> 204.3 clicks/s vs 179.6 for the single-session
-        # defaults (chunk=32/scan there wins VMEM competition with the b2
-        # model; across 16 vmapped sessions the big fused reductions win).
-        # Outputs are bit-identical (test_squared_edt_dense_rows_bit_identical).
-        self.cfg = dataclasses.replace(cfg, edt_chunk=None, edt_rows="dense")
+        self.cfg = resolve_batched_cfg(cfg, batch_size, mesh, int8=int8)
         self.batch_size = batch_size
         self.mesh = mesh
         if mesh is not None:

@@ -38,7 +38,10 @@ class ViTConfig:
     qkv_bias: bool = True
     ln_eps: float = 1e-6
     window_pixels: int = 224        # pretraining resolution for window split
-    attn_impl: str = "xla"          # "xla" (nn.sdpa) | "flash" (Pallas kernel)
+    attn_impl: str = "auto"         # "auto" (fused on TPU, xla elsewhere) |
+                                    # "xla" (nn.sdpa) | "flash" (streaming
+                                    # Pallas kernel) | "fused" (single-block
+                                    # Pallas kernel, ops/fused_attention.py)
     ln_f32: bool = True             # False: LN in bf16 (inference speed)
     mlp_impl: str = "xla"           # "xla" | "fused" (Pallas LN+MLP+residual
                                     # kernel, ops/fused_mlp.py; grad-safe)
@@ -95,9 +98,37 @@ def block_forward(p, x: jnp.ndarray, num_heads: int, eps: float,
     qkv = nn.linear(p["attn"]["qkv"], h).reshape(b, n, 3, num_heads, d // num_heads)
     qkv = constrain_acts(qkv, model_dim=3)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if attn_impl == "auto":
+        # Resolved at trace time from static shapes: the single-block fused
+        # kernel wins on TPU at every ViT-B/L/H TRAIN and batched-eval shape
+        # (scripts/bench_attn.py; up to 2.2x at H-global) but LOSES at
+        # single-session inference batches, where the per-(b,h) grid is too
+        # thin to fill the chip and XLA's dense batching is better (same
+        # conclusion as the r2 flash A/B). The measured crossover sits at
+        # score-matrix work b*H*N^2 ~ 3-6e7 (dense wins at 2.95e7 =
+        # 4 imgs x 784 tokens; fused wins at 5.9e7 from either side —
+        # 2026-08-21 v5e, /tmp-bench recorded in README "Train-shape
+        # attention microbench"). On CPU/GPU backends always dense: Pallas
+        # would run in interpret mode. Trace-time resolution keeps stored
+        # checkpoint configs portable across platforms and batch sizes.
+        from ..ops.fused_attention import MIN_SCORE_WORK
+        from ..parallel import mesh as _mesh
+        # Under a multi-device activation-sharding trace keep the dense
+        # path: GSPMD has no partitioning rule for pallas_call, so the
+        # kernel would force replication of sharded activations (lifting
+        # this needs an explicit shard_map around the kernel — future
+        # headroom, not a correctness risk).
+        sharded = _mesh._ACT_MESH is not None and \
+            _mesh._ACT_MESH.devices.size > 1
+        tpu = jax.default_backend() == "tpu" and not sharded
+        attn_impl = ("fused" if tpu and b * num_heads * n * n >= MIN_SCORE_WORK
+                     else "xla")
     if attn_impl == "flash":
         from ..ops.attention import flash_attention
         attn = flash_attention(q, k, v).reshape(b, n, d)
+    elif attn_impl == "fused":
+        from ..ops.fused_attention import fused_attention
+        attn = fused_attention(q, k, v).reshape(b, n, d)
     else:
         attn = nn.sdpa(q, k, v).reshape(b, n, d)
     attn = constrain_acts(attn, model_dim=2)

@@ -134,6 +134,45 @@ def main() -> None:
         ms = device_time_per_call(manual_fwd_bwd, (q, k, v))
         print(f"{name} manual-vjp fwd+bwd:      {ms:8.3f} ms", flush=True)
 
+        # single-block fused kernel (ops/fused_attention.py): scores live
+        # and die in VMEM; backward recomputes them from q/k
+        from pvpuformer_tpu.ops.fused_attention import fused_attention
+
+        def fused_fwd(c, q, k, v):
+            return jnp.sum(
+                fused_attention(q + c.astype(q.dtype), k, v)
+                .astype(jnp.float32))
+
+        ms = device_time_per_call(fused_fwd, (q, k, v))
+        print(f"{name} fused-kernel fwd only:   {ms:8.3f} ms", flush=True)
+
+        def fused_fwd_bwd(c, q, k, v):
+            def loss(q, k, v):
+                o = fused_attention(q + c.astype(q.dtype), k, v)
+                return jnp.sum(o.astype(jnp.float32))
+            l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+            return l + sum(jnp.sum(g).astype(jnp.float32) for g in grads)
+
+        ms = device_time_per_call(fused_fwd_bwd, (q, k, v))
+        print(f"{name} fused-kernel fwd+bwd:    {ms:8.3f} ms", flush=True)
+
+        # numerics: fused vs dense, fwd + grads
+        def loss_d(q, k, v):
+            return jnp.sum(N.sdpa(q, k, v).astype(jnp.float32) ** 2)
+
+        def loss_u(q, k, v):
+            return jnp.sum(fused_attention(q, k, v).astype(jnp.float32) ** 2)
+
+        ld, gd = jax.value_and_grad(loss_d, argnums=(0, 1, 2))(q, k, v)
+        lu, gu = jax.value_and_grad(loss_u, argnums=(0, 1, 2))(q, k, v)
+        gerr = max(float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b_.astype(jnp.float32))))
+            for a, b_ in zip(gd, gu))
+        gscale = max(float(jnp.max(jnp.abs(a))) for a in gd)
+        print(f"{name} fused |dloss| {abs(float(ld - lu)):.4f} of "
+              f"{float(ld):.1f}  max|dgrad| {gerr:.5f} "
+              f"(grad scale {gscale:.2f})", flush=True)
+
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes, SegmentIds, flash_attention)

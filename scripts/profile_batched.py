@@ -58,9 +58,16 @@ def main() -> None:
                 ("chunk=None rows=dense", params, None, "dense"),
                 ("int8 chunkNone dense ", quantize_params(params), None,
                  "dense")]
+    from pvpuformer_tpu.inference.batched import resolve_batched_cfg
+    import dataclasses
+    base = PredictorConfig(model=mcfg, target_size=(args.hw, args.hw))
     for label, pp, chunk, rows in variants:
-        cfg = PredictorConfig(model=mcfg, target_size=(args.hw, args.hw),
-                              edt_chunk=chunk, edt_rows=rows)
+        # per-variant EDT A/B on top of the shipped batched resolution
+        # (which also pins the fused attention kernel at these batches,
+        # bf16 only — int8 measured slower with it)
+        shipped = resolve_batched_cfg(base, args.batch,
+                                      int8="int8" in label)
+        cfg = dataclasses.replace(shipped, edt_chunk=chunk, edt_rows=rows)
         # compile
         _, ious = batched_click_scan(pp, cfg, stacked, args.clicks)
         np.asarray(ious)
