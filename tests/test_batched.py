@@ -49,3 +49,20 @@ def test_batched_mesh_sharded_matches_single_device():
     for a, b in zip(ref_curves, got_curves):
         np.testing.assert_allclose(a, b, atol=2e-5)
     assert stats["clicks_per_sec"] > 0
+
+
+def test_resolve_batched_cfg_shipped_selection():
+    """The shipped batched-mode resolution (resolve_batched_cfg): dense-rows
+    unchunked EDT always; the fused-attention pin only engages on TPU (so on
+    the CPU test backend the config must keep attn_impl='auto', which
+    block_forward resolves to the dense path — CPU tests never hit Pallas
+    interpret mode via the batched path)."""
+    from pvpuformer_tpu.inference.batched import resolve_batched_cfg
+
+    mcfg = tiny_cfg()
+    cfg = PredictorConfig(model=mcfg, target_size=(64, 64), min_crop_size=32)
+    for int8 in (False, True):
+        out = resolve_batched_cfg(cfg, batch_size=16, int8=int8)
+        assert out.edt_chunk is None and out.edt_rows == "dense"
+        assert out.model.backbone.attn_impl == "auto", (
+            int8, out.model.backbone.attn_impl)
